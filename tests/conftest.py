@@ -17,11 +17,16 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# A pytest plugin may import jax before this conftest runs, capturing the
+# ambient JAX_PLATFORMS (the axon TPU tunnel); override via jax.config,
+# which works as long as the backend hasn't been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def cpu_devices():
-    import jax
-
     return jax.devices()
