@@ -1,0 +1,82 @@
+"""Fixed-shape batch descriptor emitted by the scheduler.
+
+This is the TPU replacement for vLLM's SchedulerOutput + attention metadata:
+every array has a bucketed static shape so the jitted model step compiles
+once per (token_bucket,) and is reused (SURVEY.md §7 hard part #1).
+
+Layout convention:
+- the "token axis" (T) flattens all new tokens scheduled this step across
+  sequences, in row order;
+- the "row axis" (S = max_num_seqs) is the persistent batch: each running
+  request keeps one row for its lifetime, so per-row device state
+  (penalty token counts, RNG counters) never needs re-indexing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+
+@dataclass
+class BatchDescriptor:
+    """Everything the jitted step needs, as numpy (uploaded per step)."""
+
+    # --- token axis, shape [T_pad] ---
+    token_ids: np.ndarray  # int32, new tokens to embed this step
+    positions: np.ndarray  # int32, position of each token in its seq
+    token_rows: np.ndarray  # int32, persistent row of each token (S for pad)
+    slot_mapping: np.ndarray  # int32, flat KV slot; pad -> slot 0 (pad block)
+    is_prompt_token: np.ndarray  # bool, token comes from the prompt
+    # --- row axis, shape [S] (or [S+1] for cu) ---
+    q_lens: np.ndarray  # int32, tokens scheduled this step per row (0 = idle)
+    cu_q_lens: np.ndarray  # int32 [S+1], exclusive cumsum of q_lens
+    seq_lens: np.ndarray  # int32, total kv length per row after this step
+    block_tables: np.ndarray  # int32 [S, max_blocks]
+    logits_indices: np.ndarray  # int32, token-axis idx of each row's last token
+    do_sample: np.ndarray  # bool, row produces a token this step
+    reset_rows: np.ndarray  # bool, clear per-row device state before step
+    # sampling params per row
+    temperature: np.ndarray  # f32
+    top_p: np.ndarray  # f32
+    top_k: np.ndarray  # int32 (0 = off)
+    min_p: np.ndarray  # f32
+    repetition_penalty: np.ndarray  # f32
+    presence_penalty: np.ndarray  # f32
+    frequency_penalty: np.ndarray  # f32
+    seeds: np.ndarray  # uint32 per-row RNG seed
+    step_counters: np.ndarray  # int32 per-row sample counter (for RNG fold)
+    # --- scalars ---
+    num_tokens: int = 0  # actual (unpadded) token count
+    num_reqs: int = 0  # actual scheduled request count
+    # --- optional prompt-embeds overlay, shape [T_pad, H] + mask [T_pad] ---
+    prompt_embeds: Optional[np.ndarray] = None
+    use_embeds: Optional[np.ndarray] = None
+
+    @property
+    def padded_num_tokens(self) -> int:
+        return int(self.token_ids.shape[0])
+
+
+@dataclass
+class SchedulerOutput:
+    """Host-side view of one scheduling step."""
+
+    descriptor: BatchDescriptor
+    # request ids scheduled this step, in row order of appearance
+    scheduled_req_ids: list[str] = field(default_factory=list)
+    # per scheduled request: number of new tokens this step
+    num_scheduled_tokens: dict[str, int] = field(default_factory=dict)
+    # requests newly admitted this step (for runner-side state init)
+    new_req_ids: list[str] = field(default_factory=list)
+    finished_req_ids: list[str] = field(default_factory=list)
+    # rows of scheduled requests (aligned with scheduled_req_ids)
+    rows: dict[str, int] = field(default_factory=dict)
+    # host-side extra per-request info for model hooks
+    runtime_info: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.scheduled_req_ids

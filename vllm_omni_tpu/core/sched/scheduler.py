@@ -1,0 +1,381 @@
+"""Continuous-batching scheduler.
+
+Behavioral parity with the loop the reference drives through vLLM v1 +
+OmniARScheduler (reference core/sched/omni_ar_scheduler.py:29-249):
+chunked prefill under a max_num_batched_tokens budget, decode = 1 token per
+running request, stop detection and block freeing in update_from_output.
+Also implements the one-shot mode of OmniGenerationScheduler
+(omni_generation_scheduler.py:19-148): whole request admitted in a single
+step and finished after one forward (diffusion/codec stages).
+
+TPU-specific: emits fixed-shape BatchDescriptors (see core/sched/output.py)
+and keeps a persistent-row batch so device-side sampling state survives
+across steps without re-indexing.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Optional
+
+import numpy as np
+
+from vllm_omni_tpu.config.cache import CacheConfig
+from vllm_omni_tpu.config.scheduler import SchedulerConfig
+from vllm_omni_tpu.core.request import Request, RequestStatus
+from vllm_omni_tpu.core.sched.output import BatchDescriptor, SchedulerOutput
+from vllm_omni_tpu.kv_cache.manager import KVCacheManager
+from vllm_omni_tpu.utils import cdiv
+
+
+class Scheduler:
+    def __init__(
+        self,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+        num_kv_blocks: int,
+        hidden_size_for_embeds: Optional[int] = None,
+    ) -> None:
+        self.config = scheduler_config
+        self.block_size = cache_config.block_size
+        self.kv = KVCacheManager(num_kv_blocks, cache_config.block_size)
+        self.max_blocks_per_seq = cdiv(
+            scheduler_config.max_model_len, cache_config.block_size
+        )
+        self.hidden_size_for_embeds = hidden_size_for_embeds
+
+        self.waiting: deque[Request] = deque()
+        self.running: list[Request] = []
+        self.requests: dict[str, Request] = {}
+        # persistent row allocation
+        self._free_rows: list[int] = list(
+            range(scheduler_config.max_num_seqs - 1, -1, -1)
+        )
+        self._rows_to_reset: set[int] = set()
+        self._finished_this_step: list[str] = []
+        self.num_preemptions = 0
+
+    # ------------------------------------------------------------------ API
+    def add_request(self, request: Request) -> None:
+        if request.request_id in self.requests:
+            raise ValueError(f"duplicate request id {request.request_id}")
+        self.requests[request.request_id] = request
+        self.waiting.append(request)
+
+    def abort_request(self, request_id: str) -> None:
+        req = self.requests.get(request_id)
+        if req is None or req.finished:
+            return
+        req.status = RequestStatus.FINISHED_ABORTED
+        if req in self.running:
+            self.running.remove(req)
+            self._release(req)
+        else:
+            try:
+                self.waiting.remove(req)
+            except ValueError:
+                pass
+        self._finished_this_step.append(request_id)
+
+    def has_unfinished(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    @property
+    def num_running(self) -> int:
+        return len(self.running)
+
+    # ------------------------------------------------------------- schedule
+    def schedule(self) -> SchedulerOutput:
+        budget = self.config.max_num_batched_tokens
+        scheduled: list[tuple[Request, int]] = []  # (req, num_new_tokens)
+        new_req_ids: list[str] = []
+
+        # 1) running requests: decode 1 token, or continue a chunked prefill.
+        preempted: list[Request] = []
+        for req in list(self.running):
+            if budget <= 0:
+                break
+            remaining_prompt = req.num_prompt_tokens - req.num_computed_tokens
+            if remaining_prompt > 0:
+                n = min(remaining_prompt, budget)
+                if not self.config.enable_chunked_prefill:
+                    n = remaining_prompt if remaining_prompt <= budget else 0
+                    if n == 0:
+                        continue
+            else:
+                n = 1
+            total = req.num_computed_tokens + n
+            blocks = self.kv.allocate(req.request_id, total)
+            if blocks is None:
+                # Out of KV blocks: preempt this request (free its blocks,
+                # back to the waiting queue) — vLLM recompute-preemption.
+                preempted.append(req)
+                continue
+            budget -= n
+            scheduled.append((req, n))
+        for req in preempted:
+            self._preempt(req)
+
+        # 2) admit waiting requests.
+        while (
+            self.waiting
+            and budget > 0
+            and self._free_rows
+            and len(self.running) < self.config.max_num_seqs
+        ):
+            req = self.waiting[0]
+            remaining = req.num_prompt_tokens - req.num_computed_tokens
+            if remaining <= 0:
+                remaining = 1  # empty prompt → single placeholder token
+            if self.config.one_shot:
+                # one-shot stages admit whole requests only
+                # (reference omni_generation_scheduler.py:19-148)
+                if remaining > budget:
+                    break
+                n = remaining
+            else:
+                n = min(remaining, budget)
+                if not self.config.enable_chunked_prefill and remaining > budget:
+                    break
+            if self.kv.allocate(req.request_id, req.num_computed_tokens + n) is None:
+                break
+            self.waiting.popleft()
+            row = self._free_rows.pop()
+            req.batch_row = row
+            self._rows_to_reset.add(row)
+            req.status = RequestStatus.RUNNING
+            self.running.append(req)
+            scheduled.append((req, n))
+            new_req_ids.append(req.request_id)
+            budget -= n
+
+        out = self._build_output(scheduled, new_req_ids)
+        return out
+
+    # -------------------------------------------------------------- update
+    def update_from_output(
+        self,
+        scheduler_output: SchedulerOutput,
+        sampled_tokens: np.ndarray,  # int32 [S] per-row sampled token
+        eos_token_id: Optional[int] = None,
+    ) -> list[Request]:
+        """Consume one step's sampled tokens; returns requests that produced
+        a new token this step (for output streaming).
+
+        Parity: OmniARScheduler.update_from_output bookkeeping loop
+        (reference omni_ar_scheduler.py:64-249).
+        """
+        produced: list[Request] = []
+        for rid in scheduler_output.scheduled_req_ids:
+            req = self.requests.get(rid)
+            if req is None or req.finished:
+                continue
+            n = scheduler_output.num_scheduled_tokens[rid]
+            req.num_computed_tokens += n
+            if req.num_computed_tokens < req.num_prompt_tokens:
+                continue  # mid-prefill chunk: no token produced
+            if self.config.one_shot:
+                # Non-AR stage: finished right after its single forward
+                # (reference omni_generation_scheduler.py:236-244).
+                req.status = RequestStatus.FINISHED_STOPPED
+                self._finish(req)
+                produced.append(req)
+                continue
+            tok = int(sampled_tokens[req.batch_row])
+            req.output_token_ids.append(tok)
+            produced.append(req)
+            self._check_stop(req, tok, eos_token_id)
+            if req.finished:
+                self._finish(req)
+        return produced
+
+    def take_finished(self) -> list[str]:
+        out = self._finished_this_step
+        self._finished_this_step = []
+        return out
+
+    # ------------------------------------------------------------ internals
+    def _check_stop(self, req: Request, tok: int, eos_token_id: Optional[int]):
+        sp = req.sampling_params
+        if sp.max_tokens is not None and req.num_output_tokens >= sp.max_tokens:
+            req.status = RequestStatus.FINISHED_LENGTH_CAPPED
+            return
+        if req.num_tokens >= self.config.max_model_len:
+            req.status = RequestStatus.FINISHED_LENGTH_CAPPED
+            return
+        if req.num_output_tokens < sp.min_tokens:
+            return
+        if not sp.ignore_eos and eos_token_id is not None and tok == eos_token_id:
+            req.status = RequestStatus.FINISHED_STOPPED
+            req.stop_reason = tok
+            return
+        if tok in (sp.stop_token_ids or ()):
+            req.status = RequestStatus.FINISHED_STOPPED
+            req.stop_reason = tok
+            return
+
+    def _preempt(self, req: Request) -> None:
+        self.num_preemptions += 1
+        self.running.remove(req)
+        self._release(req)
+        req.status = RequestStatus.PREEMPTED
+        req.num_computed_tokens = 0
+        req.output_token_ids.clear()
+        self.waiting.appendleft(req)
+
+    def _finish(self, req: Request) -> None:
+        if req in self.running:
+            self.running.remove(req)
+        self._release(req)
+        self._finished_this_step.append(req.request_id)
+
+    def _release(self, req: Request) -> None:
+        self.kv.free(req.request_id)
+        if req.batch_row >= 0:
+            self._free_rows.append(req.batch_row)
+            self._rows_to_reset.discard(req.batch_row)
+            req.batch_row = -1
+
+    # ------------------------------------------------------- array building
+    def _build_output(
+        self, scheduled: list[tuple[Request, int]], new_req_ids: list[str]
+    ) -> SchedulerOutput:
+        S = self.config.max_num_seqs
+        num_tokens = sum(n for _, n in scheduled)
+        T = self.config.pad_tokens(max(num_tokens, 1))
+
+        token_ids = np.zeros(T, np.int32)
+        positions = np.zeros(T, np.int32)
+        token_rows = np.full(T, S, np.int32)
+        slot_mapping = np.zeros(T, np.int32)
+        is_prompt = np.zeros(T, bool)
+        q_lens = np.zeros(S, np.int32)
+        seq_lens = np.zeros(S, np.int32)
+        block_tables = np.zeros((S, self.max_blocks_per_seq), np.int32)
+        logits_indices = np.zeros(S, np.int32)
+        do_sample = np.zeros(S, bool)
+        reset_rows = np.zeros(S, bool)
+        temperature = np.ones(S, np.float32)
+        top_p = np.ones(S, np.float32)
+        top_k = np.zeros(S, np.int32)
+        min_p = np.zeros(S, np.float32)
+        rep_pen = np.ones(S, np.float32)
+        pres_pen = np.zeros(S, np.float32)
+        freq_pen = np.zeros(S, np.float32)
+        seeds = np.zeros(S, np.uint32)
+        step_counters = np.zeros(S, np.int32)
+
+        embeds = None
+        use_embeds = None
+
+        t = 0
+        sched_ids: list[str] = []
+        num_sched: dict[str, int] = {}
+        rows: dict[str, int] = {}
+        for req, n in scheduled:
+            row = req.batch_row
+            sched_ids.append(req.request_id)
+            num_sched[req.request_id] = n
+            rows[req.request_id] = row
+            start = req.num_computed_tokens
+            all_ids = req.all_token_ids
+            for i in range(n):
+                pos = start + i
+                token_ids[t + i] = all_ids[pos] if pos < len(all_ids) else 0
+                positions[t + i] = pos
+                token_rows[t + i] = row
+                is_prompt[t + i] = pos < req.num_prompt_tokens
+            # prompt-embeds overlay for this chunk
+            if req.prompt_embeds is not None:
+                if embeds is None:
+                    H = int(np.asarray(req.prompt_embeds).shape[-1])
+                    embeds = np.zeros((T, H), np.float32)
+                    use_embeds = np.zeros(T, bool)
+                pe = np.asarray(req.prompt_embeds)
+                for i in range(n):
+                    pos = start + i
+                    if pos < pe.shape[0]:
+                        embeds[t + i] = pe[pos]
+                        use_embeds[t + i] = True
+            blocks = self.kv.get_blocks(req.request_id)
+            for i in range(n):
+                pos = start + i
+                b = blocks[pos // self.block_size]
+                slot_mapping[t + i] = b * self.block_size + pos % self.block_size
+            q_lens[row] = n
+            seq_lens[row] = start + n
+            block_tables[row, : len(blocks)] = blocks
+            logits_indices[row] = t + n - 1
+            # row samples iff this step completes/extends past the prompt
+            do_sample[row] = (start + n) >= req.num_prompt_tokens
+            if row in self._rows_to_reset:
+                reset_rows[row] = True
+                self._rows_to_reset.discard(row)
+            sp = req.sampling_params
+            temperature[row] = sp.temperature
+            top_p[row] = sp.top_p
+            top_k[row] = sp.top_k
+            min_p[row] = sp.min_p
+            rep_pen[row] = sp.repetition_penalty
+            pres_pen[row] = sp.presence_penalty
+            freq_pen[row] = sp.frequency_penalty
+            seeds[row] = np.uint32(sp.seed if sp.seed is not None else 0)
+            step_counters[row] = req.num_output_tokens
+            t += n
+
+        cu_q = np.zeros(S + 1, np.int32)
+        # cu over rows in row order (attention iterates rows, so cumsum must
+        # match token layout order: tokens were laid out in scheduled order,
+        # not row order). Build cu from per-row token start offsets instead.
+        # We store each row's token-start explicitly via logits_indices and
+        # q_lens; for the ragged kernel we need cu_q_lens consistent with
+        # token layout. Reorder: record row->start.
+        row_start = np.zeros(S, np.int32)
+        tt = 0
+        for req, n in scheduled:
+            row_start[req.batch_row] = tt
+            tt += n
+        # cu_q_lens[i] = start of row i's tokens; rows with q_len 0 get the
+        # previous cumsum value so the kernel sees empty segments.
+        # The ragged attention implementation consumes (row_start, q_lens)
+        # directly; keep cu for API compat.
+        cu = 0
+        for r in range(S):
+            cu_q[r] = row_start[r] if q_lens[r] > 0 else cu
+            cu = cu_q[r] + q_lens[r]
+        cu_q[S] = num_tokens
+
+        desc = BatchDescriptor(
+            token_ids=token_ids,
+            positions=positions,
+            token_rows=token_rows,
+            slot_mapping=slot_mapping,
+            is_prompt_token=is_prompt,
+            q_lens=q_lens,
+            cu_q_lens=cu_q,
+            seq_lens=seq_lens,
+            block_tables=block_tables,
+            logits_indices=logits_indices,
+            do_sample=do_sample,
+            reset_rows=reset_rows,
+            temperature=temperature,
+            top_p=top_p,
+            top_k=top_k,
+            min_p=min_p,
+            repetition_penalty=rep_pen,
+            presence_penalty=pres_pen,
+            frequency_penalty=freq_pen,
+            seeds=seeds,
+            step_counters=step_counters,
+            num_tokens=num_tokens,
+            num_reqs=len(scheduled),
+            prompt_embeds=embeds,
+            use_embeds=use_embeds,
+        )
+        return SchedulerOutput(
+            descriptor=desc,
+            scheduled_req_ids=sched_ids,
+            num_scheduled_tokens=num_sched,
+            new_req_ids=new_req_ids,
+            rows=rows,
+        )
