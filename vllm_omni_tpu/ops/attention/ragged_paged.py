@@ -1,0 +1,151 @@
+"""Ragged paged attention — unified prefill/chunked-prefill/decode.
+
+TPU-native replacement for the PagedAttention CUDA kernels + FlashAttention
+the reference consumes from vLLM (SURVEY.md §2.10 row 1). One interface
+serves every AR step: the query axis flattens all new tokens of all
+sequences (ragged segments), KV lives in a paged HBM cache indexed by
+per-row block tables.
+
+Two implementations behind one signature:
+- `ragged_paged_attention_ref`: pure-XLA gather/mask reference. Correct on
+  any backend (CPU tests); O(S * Lmax) memory — fine for tests and small
+  contexts.
+- Pallas kernel in ops/attention/pallas_ragged.py for the production path
+  (selected by ops.attention.backend).
+
+Shapes:
+  q            [T, Hq, D]    flattened new tokens
+  k_cache      [N_blk, B, Hkv, D]
+  v_cache      [N_blk, B, Hkv, D]
+  q_starts     [S] int32     token-axis start of each row's segment
+  q_lens       [S] int32     segment length (0 = idle row)
+  seq_lens     [S] int32     total kv len per row (incl. this step's tokens)
+  block_tables [S, MAXB] int32
+  positions    [T] int32     absolute position of each query token
+  token_rows   [T] int32     row of each query token (S for padding)
+Returns [T, Hq, D].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def write_kv(
+    k_cache: jax.Array,  # [N_blk, B, Hkv, D]
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [T, Hkv, D]
+    v_new: jax.Array,
+    slot_mapping: jax.Array,  # [T] int32 flat slot = blk * B + off
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter this step's K/V into the paged cache (pad tokens hit the
+    reserved pad block 0, harmlessly)."""
+    nb, bs, hk, d = k_cache.shape
+    k_flat = k_cache.reshape(nb * bs, hk, d)
+    v_flat = v_cache.reshape(nb * bs, hk, d)
+    k_flat = k_flat.at[slot_mapping].set(k_new.astype(k_cache.dtype))
+    v_flat = v_flat.at[slot_mapping].set(v_new.astype(v_cache.dtype))
+    return k_flat.reshape(nb, bs, hk, d), v_flat.reshape(nb, bs, hk, d)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("scale", "logit_cap", "sliding_window"),
+)
+def ragged_paged_attention_ref(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    q_starts: jax.Array,
+    q_lens: jax.Array,
+    seq_lens: jax.Array,
+    block_tables: jax.Array,
+    positions: jax.Array,
+    token_rows: jax.Array,
+    scale: float,
+    logit_cap: float = 0.0,
+    sliding_window: int = 0,
+) -> jax.Array:
+    T, Hq, D = q.shape
+    S, MAXB = block_tables.shape
+    _, B, Hkv, _ = k_cache.shape
+    G = Hq // Hkv
+    L = MAXB * B  # max kv length (static)
+
+    qf = q.astype(jnp.float32)
+
+    def per_row(carry, s):
+        out = carry
+        # gather this row's pages -> [L, Hkv, D]
+        blocks = block_tables[s]  # [MAXB]
+        k_s = k_cache[blocks].reshape(L, Hkv, D).astype(jnp.float32)
+        v_s = v_cache[blocks].reshape(L, Hkv, D).astype(jnp.float32)
+        # scores for ALL query tokens vs this row's KV: [T, Hkv, G, L]
+        qg = qf.reshape(T, Hkv, G, D)
+        scores = jnp.einsum("thgd,lhd->thgl", qg, k_s) * scale
+        if logit_cap > 0.0:
+            scores = logit_cap * jnp.tanh(scores / logit_cap)
+        kv_pos = jnp.arange(L, dtype=jnp.int32)
+        row_mask = (token_rows == s)[:, None]  # [T, 1]
+        causal = kv_pos[None, :] <= positions[:, None]  # [T, L]
+        valid_kv = kv_pos[None, :] < seq_lens[s]
+        mask = row_mask & causal & valid_kv
+        if sliding_window > 0:
+            mask &= kv_pos[None, :] > positions[:, None] - sliding_window
+        scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        # rows with no valid kv produce uniform garbage; zero them via mask
+        any_valid = mask.any(axis=-1)[:, None, None, None]
+        probs = jnp.where(any_valid, probs, 0.0)
+        o_s = jnp.einsum("thgl,lhd->thgd", probs, v_s).reshape(T, Hq, D)
+        out = out + jnp.where(row_mask[:, :, None].reshape(T, 1, 1), o_s, 0.0)
+        return out, None
+
+    init = jnp.zeros((T, Hq, D), jnp.float32)
+    out, _ = jax.lax.scan(per_row, init, jnp.arange(S))
+    return out.astype(q.dtype)
+
+
+def ragged_paged_attention(
+    q,
+    k_cache,
+    v_cache,
+    q_starts,
+    q_lens,
+    seq_lens,
+    block_tables,
+    positions,
+    token_rows,
+    scale: float,
+    logit_cap: float = 0.0,
+    sliding_window: int = 0,
+    backend: Optional[str] = None,
+):
+    """Backend-dispatching entry point."""
+    from vllm_omni_tpu import envs
+
+    if backend is None:
+        backend = envs.attention_backend()
+    if backend == "auto":
+        backend = "pallas" if envs.is_tpu_platform() else "xla"
+    if backend == "pallas":
+        from vllm_omni_tpu.ops.attention.pallas_ragged import (
+            ragged_paged_attention_pallas,
+        )
+
+        return ragged_paged_attention_pallas(
+            q, k_cache, v_cache, q_starts, q_lens, seq_lens, block_tables,
+            positions, token_rows, scale=scale, logit_cap=logit_cap,
+            sliding_window=sliding_window,
+        )
+    return ragged_paged_attention_ref(
+        q, k_cache, v_cache, q_starts, q_lens, seq_lens, block_tables,
+        positions, token_rows, scale=scale, logit_cap=logit_cap,
+        sliding_window=sliding_window,
+    )
