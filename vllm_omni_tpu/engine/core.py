@@ -1,0 +1,117 @@
+"""Engine core: scheduler + model runner step loop.
+
+Single-controller replacement for the reference's process stack (vLLM
+EngineCore process + TP workers; SURVEY.md §7 design stance). One step =
+schedule → jitted model step → host bookkeeping.
+
+Emits EngineCoreOutput records per request that produced something,
+mirroring the reference's EngineCoreOutputs + pooling_output side channel
+(reference engine/__init__.py:94, gpu_ar_model_runner.py:377-430).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+
+from vllm_omni_tpu.config.engine import EngineConfig
+from vllm_omni_tpu.core.request import Request
+from vllm_omni_tpu.core.sched.scheduler import Scheduler
+from vllm_omni_tpu.engine.model_runner import ModelRunner
+from vllm_omni_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+@dataclass
+class EngineCoreOutput:
+    request_id: str
+    new_token_ids: list[int]
+    finished: bool
+    finish_reason: Optional[str] = None
+    stop_reason: Optional[Any] = None
+    # engine_output_type != "text": per-step device arrays keyed by name
+    # (hidden states, codec codes, waveforms).
+    multimodal_output: dict[str, Any] = field(default_factory=dict)
+
+
+class EngineCore:
+    def __init__(
+        self,
+        config: EngineConfig,
+        load_weights: bool = True,
+        model: Optional[Any] = None,
+        attention_backend: Optional[str] = None,
+    ):
+        self.config = config
+        self.runner = ModelRunner(
+            config,
+            load_weights=load_weights,
+            model=model,
+            attention_backend=attention_backend,
+        )
+        self.scheduler = Scheduler(
+            config.scheduler_config,
+            config.cache_config,
+            num_kv_blocks=self.runner.num_blocks,
+        )
+        mc = config.model_config
+        self.eos_token_id = mc.get("eos_token_id")
+        if isinstance(self.eos_token_id, list):
+            # multiple EOS ids: treat extras as stop tokens at add time
+            self._extra_eos = set(self.eos_token_id[1:])
+            self.eos_token_id = self.eos_token_id[0]
+        else:
+            self._extra_eos = set()
+        self.output_type = mc.engine_output_type
+
+    def add_request(self, request: Request) -> None:
+        if self._extra_eos and not request.sampling_params.ignore_eos:
+            request.sampling_params.stop_token_ids = list(
+                set(request.sampling_params.stop_token_ids or [])
+                | self._extra_eos
+            )
+        self.scheduler.add_request(request)
+
+    def abort_request(self, request_id: str) -> None:
+        self.scheduler.abort_request(request_id)
+
+    def has_unfinished(self) -> bool:
+        return self.scheduler.has_unfinished()
+
+    def step(self) -> list[EngineCoreOutput]:
+        sched_out = self.scheduler.schedule()
+        if sched_out.is_empty:
+            return []
+        sampled, aux = self.runner.execute(sched_out.descriptor)
+        produced = self.scheduler.update_from_output(
+            sched_out, sampled, eos_token_id=self.eos_token_id
+        )
+        outputs: list[EngineCoreOutput] = []
+        want_mm = self.output_type != "text"
+        for req in produced:
+            mm: dict[str, Any] = {}
+            if want_mm:
+                row = sched_out.rows[req.request_id]
+                for key, arr in aux.items():
+                    val = arr[row]
+                    req.multimodal_outputs.setdefault(key, []).append(val)
+                    mm[key] = val
+            new_tokens = (
+                [req.output_token_ids[-1]] if req.output_token_ids else []
+            )
+            outputs.append(
+                EngineCoreOutput(
+                    request_id=req.request_id,
+                    new_token_ids=new_tokens,
+                    finished=req.finished,
+                    finish_reason=req.finish_reason,
+                    stop_reason=req.stop_reason,
+                    multimodal_output=mm,
+                )
+            )
+        return outputs

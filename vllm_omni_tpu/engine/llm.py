@@ -1,0 +1,209 @@
+"""User-facing offline AR engine.
+
+Parity: the role OmniLLM plays over vLLM's LLM (reference
+entrypoints/omni_llm.py:30-192) — but engine core, scheduler, and runner
+are all in-process here (TPU single-controller design, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional, Sequence, Union
+
+import jax
+
+from vllm_omni_tpu.config.engine import EngineArgs, EngineConfig
+from vllm_omni_tpu.core.request import Request
+from vllm_omni_tpu.engine.core import EngineCore
+from vllm_omni_tpu.engine.detokenizer import (
+    IncrementalDetokenizer,
+    maybe_load_tokenizer,
+)
+from vllm_omni_tpu.inputs import (
+    OmniEmbedsPrompt,
+    OmniTokensPrompt,
+    PromptType,
+    TextPrompt,
+    parse_prompt,
+)
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.outputs import CompletionOutput, RequestOutput
+from vllm_omni_tpu.sampling_params import SamplingParams
+from vllm_omni_tpu.utils import Counter
+
+logger = init_logger(__name__)
+
+
+class LLM:
+    def __init__(
+        self,
+        model: str = "",
+        engine_args: Optional[EngineArgs] = None,
+        load_weights: bool = True,
+        model_impl: Optional[Any] = None,
+        attention_backend: Optional[str] = None,
+        **kwargs,
+    ):
+        if engine_args is None:
+            engine_args = EngineArgs.from_dict({"model": model, **kwargs})
+        self.engine_args = engine_args
+        self.config: EngineConfig = engine_args.create_engine_config()
+        self.core = EngineCore(
+            self.config,
+            load_weights=load_weights,
+            model=model_impl,
+            attention_backend=attention_backend,
+        )
+        self.tokenizer = maybe_load_tokenizer(self.config.model_config.tokenizer)
+        self._counter = Counter()
+        # request_id -> (Request, detok, stream state)
+        self._active: dict[str, tuple[Request, IncrementalDetokenizer]] = {}
+
+    # --------------------------------------------------------------- API
+    def generate(
+        self,
+        prompts: Union[PromptType, Sequence[PromptType]],
+        sampling_params: Union[SamplingParams, Sequence[SamplingParams], None] = None,
+    ) -> list[RequestOutput]:
+        single = not isinstance(prompts, (list, tuple))
+        prompt_list = [prompts] if single else list(prompts)
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        sp_list = (
+            [sampling_params] * len(prompt_list)
+            if isinstance(sampling_params, SamplingParams)
+            else list(sampling_params)
+        )
+        if len(sp_list) != len(prompt_list):
+            raise ValueError("sampling_params length mismatch")
+
+        req_ids = [
+            self.add_request(p, sp) for p, sp in zip(prompt_list, sp_list)
+        ]
+        results = self.run_to_completion(set(req_ids))
+        return [results[rid] for rid in req_ids]
+
+    def add_request(
+        self,
+        prompt: PromptType,
+        sampling_params: SamplingParams,
+        request_id: Optional[str] = None,
+    ) -> str:
+        parsed = parse_prompt(prompt)
+        request_id = request_id or f"req-{next(self._counter)}"
+        prompt_text = None
+        prompt_embeds = None
+        additional_information: dict[str, Any] = {}
+        if isinstance(parsed, TextPrompt):
+            if self.tokenizer is None:
+                raise ValueError(
+                    "text prompt given but no tokenizer available; "
+                    "pass prompt_token_ids"
+                )
+            token_ids = self.tokenizer.encode(parsed.prompt)
+            prompt_text = parsed.prompt
+        elif isinstance(parsed, OmniTokensPrompt):
+            token_ids = list(parsed.prompt_token_ids)
+            prompt_embeds = parsed.prompt_embeds
+            additional_information = parsed.additional_information
+        elif isinstance(parsed, OmniEmbedsPrompt):
+            import numpy as np
+
+            n = int(np.asarray(parsed.prompt_embeds).shape[0])
+            token_ids = [0] * n
+            prompt_embeds = parsed.prompt_embeds
+            additional_information = parsed.additional_information
+        else:
+            raise TypeError(type(parsed))
+
+        req = Request(
+            request_id=request_id,
+            prompt_token_ids=token_ids,
+            prompt=prompt_text,
+            prompt_embeds=prompt_embeds,
+            additional_information=additional_information,
+            sampling_params=sampling_params.clone(),
+        )
+        detok = IncrementalDetokenizer(
+            self.tokenizer if sampling_params.detokenize else None,
+            stop=list(sampling_params.stop or []),
+            skip_special_tokens=sampling_params.skip_special_tokens,
+        )
+        self._active[request_id] = (req, detok)
+        self.core.add_request(req)
+        return request_id
+
+    def abort_request(self, request_id: str) -> None:
+        self.core.abort_request(request_id)
+        self._active.pop(request_id, None)
+
+    def has_unfinished(self) -> bool:
+        return self.core.has_unfinished()
+
+    def step(self) -> list[RequestOutput]:
+        """One engine step; returns RequestOutputs for requests that
+        progressed (finished=True when done)."""
+        core_outputs = self.core.step()
+        outs: list[RequestOutput] = []
+        for co in core_outputs:
+            entry = self._active.get(co.request_id)
+            if entry is None:
+                continue
+            req, detok = entry
+            detok.add_tokens(co.new_token_ids)
+            finished = co.finished
+            finish_reason = co.finish_reason
+            if detok.stopped_on is not None and not finished:
+                # stop string hit: abort in scheduler
+                self.core.abort_request(co.request_id)
+                finished = True
+                finish_reason = "stop"
+            outs.append(self._make_output(req, detok, finished, finish_reason))
+            if finished:
+                self._active.pop(co.request_id, None)
+        return outs
+
+    def run_to_completion(self, req_ids: set[str]) -> dict[str, RequestOutput]:
+        results: dict[str, RequestOutput] = {}
+        pending = set(req_ids)
+        while pending and self.core.has_unfinished():
+            for out in self.step():
+                if out.finished and out.request_id in pending:
+                    results[out.request_id] = out
+                    pending.discard(out.request_id)
+        if pending:
+            raise RuntimeError(f"requests never finished: {pending}")
+        return results
+
+    # ----------------------------------------------------------- helpers
+    def _make_output(
+        self, req: Request, detok: IncrementalDetokenizer,
+        finished: bool, finish_reason: Optional[str],
+    ) -> RequestOutput:
+        mm = None
+        if req.multimodal_outputs:
+            import jax.numpy as jnp
+
+            # deferred concat over steps, parity with the reference's
+            # MultimodalOutputProcessor (output_processor.py:99-186)
+            mm = {
+                k: (jnp.stack(v) if len(v) > 1 else v[0])
+                for k, v in req.multimodal_outputs.items()
+            } if finished else {
+                k: v[-1] for k, v in req.multimodal_outputs.items()
+            }
+        comp = CompletionOutput(
+            index=0,
+            text=detok.text,
+            token_ids=list(req.output_token_ids),
+            finish_reason=finish_reason if finished else None,
+            stop_reason=req.stop_reason or detok.stopped_on,
+            multimodal_output=mm,
+        )
+        return RequestOutput(
+            request_id=req.request_id,
+            prompt=req.prompt,
+            prompt_token_ids=list(req.prompt_token_ids),
+            outputs=[comp],
+            finished=finished,
+        )

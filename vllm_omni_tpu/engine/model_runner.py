@@ -1,0 +1,185 @@
+"""Model runner: owns params, paged KV caches, and the jitted step.
+
+TPU-native replacement for the reference's GPUARModelRunner /
+GPUGenerationModelRunner (reference worker/gpu_ar_model_runner.py:79-451,
+gpu_generation_model_runner.py:44-182): instead of CUDA-graph capture +
+two-phase execute/sample, ONE jit-compiled function per token-bucket does
+embed → scanned decoder forward (KV write + ragged paged attention) →
+logits gather → penalties → sample, with the KV caches and sampling state
+donated so XLA updates them in place.
+
+Non-text stages get per-row last hidden states back (the thinker→talker
+data path, reference gpu_ar_model_runner.py:377-430) — as device arrays,
+no host round-trip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vllm_omni_tpu.config.engine import EngineConfig
+from vllm_omni_tpu.core.sched.output import BatchDescriptor
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.models.registry import resolve_ar_model
+from vllm_omni_tpu.ops.attention import AttentionMetadata
+from vllm_omni_tpu.ops.sampling import (
+    SamplingState,
+    apply_penalties,
+    sample,
+)
+from vllm_omni_tpu.utils import cdiv
+
+logger = init_logger(__name__)
+
+DEFAULT_NUM_BLOCKS = 2048
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        config: EngineConfig,
+        load_weights: bool = True,
+        rng_seed: int = 0,
+        model: Optional[Any] = None,
+        attention_backend: Optional[str] = None,
+    ):
+        self.config = config
+        mc = config.model_config
+        self.model = model if model is not None else resolve_ar_model(
+            mc.architecture)(mc)
+        self.attention_backend = attention_backend
+        if load_weights and mc.model:
+            self.params = self.model.load_weights(mc.model)
+        else:
+            self.params = self.model.init_params(jax.random.key(rng_seed))
+        self.num_blocks = self._decide_num_blocks()
+        spec = self.model.kv_spec
+        B = config.cache_config.block_size
+        # head-major paged layout: per-head pages are contiguous [B, D]
+        # tiles for the pallas kernel's DMAs
+        shape = (spec.num_layers, spec.num_kv_heads, self.num_blocks, B, spec.head_dim)
+        cache_dtype = config.cache_config.cache_dtype
+        self.kv_cache = {
+            "k": jnp.zeros(shape, cache_dtype),
+            "v": jnp.zeros(shape, cache_dtype),
+        }
+        S = config.scheduler_config.max_num_seqs
+        self.sampling_state = SamplingState.init(S, mc.vocab_size)
+        self._step_fn = self._build_step_fn()
+        logger.info(
+            "ModelRunner ready: %s, %d KV blocks x %d tokens, %d rows",
+            mc.architecture, self.num_blocks, B, S,
+        )
+
+    # ----------------------------------------------------------- sizing
+    def _decide_num_blocks(self) -> int:
+        cc = self.config.cache_config
+        if cc.num_blocks is not None:
+            return cc.num_blocks
+        mc = self.config.model_config
+        spec = self.model.kv_spec
+        per_block = cc.bytes_per_block(
+            spec.num_kv_heads, spec.head_dim, spec.num_layers
+        )
+        try:
+            stats = jax.devices()[0].memory_stats()
+            free = stats["bytes_limit"] * cc.hbm_memory_utilization - stats[
+                "bytes_in_use"
+            ]
+            n = max(int(free // per_block), 16)
+        except Exception:
+            n = DEFAULT_NUM_BLOCKS
+        # never more than every row fully extended
+        sc = self.config.scheduler_config
+        cap = sc.max_num_seqs * cdiv(sc.max_model_len, cc.block_size) + 1
+        return min(n, cap)
+
+    # ------------------------------------------------------------- step
+    def _build_step_fn(self) -> Callable:
+        model = self.model
+        backend = self.attention_backend
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def step(params, kv_cache, state: SamplingState, d: dict):
+            token_ids = d["token_ids"]
+            embeds = model.embed_tokens(params, token_ids)
+            if d.get("prompt_embeds") is not None:
+                overlay = d["prompt_embeds"].astype(embeds.dtype)
+                embeds = jnp.where(d["use_embeds"][:, None], overlay, embeds)
+            meta = AttentionMetadata(
+                q_starts=d["cu_q_lens"][:-1],
+                q_lens=d["q_lens"],
+                seq_lens=d["seq_lens"],
+                block_tables=d["block_tables"],
+                positions=d["positions"],
+                token_rows=d["token_rows"],
+                slot_mapping=d["slot_mapping"],
+            )
+            hidden, kv_cache = model.forward(
+                params, embeds, kv_cache, meta, attention_backend=backend
+            )
+            rows_hidden = hidden[d["logits_indices"]]  # [S, H]
+            logits = model.compute_logits(params, rows_hidden)  # [S, V] f32
+            logits = logits.astype(jnp.float32)
+
+            state = state.reset_rows(d["reset_rows"])
+            state = state.observe_input_tokens(
+                token_ids, d["token_rows"], d["is_prompt_token"]
+            )
+            logits = apply_penalties(
+                logits, state,
+                d["repetition_penalty"], d["presence_penalty"],
+                d["frequency_penalty"],
+            )
+            sampled = sample(
+                logits,
+                d["temperature"], d["top_p"], d["top_k"], d["min_p"],
+                d["seeds"], d["step_counters"],
+            )
+            sampled = jnp.where(d["do_sample"], sampled, 0)
+            state = state.observe_sampled(sampled, d["do_sample"])
+            aux = {"last_hidden": rows_hidden}
+            if hasattr(model, "aux_outputs"):
+                aux.update(model.aux_outputs(params, rows_hidden, sampled))
+            return sampled, kv_cache, state, aux
+
+        return step
+
+    def execute(self, desc: BatchDescriptor) -> tuple[np.ndarray, dict[str, Any]]:
+        """Run one step; returns (sampled tokens [S] on host, aux device arrays)."""
+        d = {
+            "token_ids": desc.token_ids,
+            "positions": desc.positions,
+            "token_rows": desc.token_rows,
+            "slot_mapping": desc.slot_mapping,
+            "is_prompt_token": desc.is_prompt_token,
+            "q_lens": desc.q_lens,
+            "cu_q_lens": desc.cu_q_lens,
+            "seq_lens": desc.seq_lens,
+            "block_tables": desc.block_tables,
+            "logits_indices": desc.logits_indices,
+            "do_sample": desc.do_sample,
+            "reset_rows": desc.reset_rows,
+            "temperature": desc.temperature,
+            "top_p": desc.top_p,
+            "top_k": desc.top_k,
+            "min_p": desc.min_p,
+            "repetition_penalty": desc.repetition_penalty,
+            "presence_penalty": desc.presence_penalty,
+            "frequency_penalty": desc.frequency_penalty,
+            "seeds": desc.seeds,
+            "step_counters": desc.step_counters,
+        }
+        if desc.prompt_embeds is not None:
+            d["prompt_embeds"] = desc.prompt_embeds
+            d["use_embeds"] = desc.use_embeds
+        sampled, self.kv_cache, self.sampling_state, aux = self._step_fn(
+            self.params, self.kv_cache, self.sampling_state, d
+        )
+        return np.asarray(jax.device_get(sampled)), aux

@@ -1,0 +1,183 @@
+"""Qwen2 decoder (functional JAX), the text backbone of Qwen2.5-Omni.
+
+Covers the architecture the reference's thinker/talker text paths use via
+vLLM's Qwen2 stack (reference model_executor/models/qwen2_5_omni/*,
+qwen2_old.py:42-465): GQA attention with QKV bias, SwiGLU MLP, RMSNorm,
+rotary embeddings (plain or M-RoPE), tied or separate lm_head.
+
+Decoder layers are stacked and scanned; KV caches are paged HBM arrays
+updated in place (donated) through the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_omni_tpu.config.model import ModelConfig
+from vllm_omni_tpu.models.layers import embed, linear, rms_norm, swiglu_mlp, unembed
+from vllm_omni_tpu.ops.attention import AttentionMetadata, ragged_paged_attention, write_kv
+from vllm_omni_tpu.ops.rope import apply_rope, rope_table
+
+
+class KVSpec(NamedTuple):
+    num_layers: int
+    num_kv_heads: int
+    head_dim: int
+
+
+class Qwen2ForCausalLM:
+    """Functional Qwen2/Qwen2.5 causal LM."""
+
+    qkv_bias: bool = True
+    qk_norm: bool = False
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        self.H = config.hidden_size
+        self.L = config.num_layers
+        self.Hq = config.num_attention_heads
+        self.Hkv = config.num_kv_heads
+        self.D = config.head_dim
+        self.V = config.vocab_size
+        self.I = int(config.get("intermediate_size"))
+        self.eps = float(config.get("rms_norm_eps", 1e-6))
+        self.theta = float(config.get("rope_theta", 10000.0))
+        self.tie_embeddings = bool(config.get("tie_word_embeddings", False))
+        self.mrope_section = None
+        rs = config.get("rope_scaling") or {}
+        if rs and rs.get("mrope_section"):
+            self.mrope_section = list(rs["mrope_section"])
+        self.scale = self.D**-0.5
+        self.dtype = config.dtype
+        self.sliding_window = 0
+        if config.get("use_sliding_window", False):
+            self.sliding_window = int(config.get("sliding_window", 0) or 0)
+        self._cos, self._sin = rope_table(
+            self.D, config.max_model_len, self.theta
+        )
+
+    @property
+    def kv_spec(self) -> KVSpec:
+        return KVSpec(self.L, self.Hkv, self.D)
+
+    # ------------------------------------------------------------- params
+    def init_params(self, rng: jax.Array) -> dict[str, Any]:
+        """Random init (tests / profiling)."""
+        dt = self.dtype
+        keys = jax.random.split(rng, 12)
+
+        def w(key, *shape, scale=0.02):
+            return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dt)
+
+        L, H, Hq, Hkv, D, I, V = (
+            self.L, self.H, self.Hq, self.Hkv, self.D, self.I, self.V,
+        )
+        layers = {
+            "input_layernorm": jnp.ones((L, H), dt),
+            "post_attention_layernorm": jnp.ones((L, H), dt),
+            "q_proj": w(keys[0], L, H, Hq * D),
+            "k_proj": w(keys[1], L, H, Hkv * D),
+            "v_proj": w(keys[2], L, H, Hkv * D),
+            "o_proj": w(keys[3], L, Hq * D, H),
+            "gate_proj": w(keys[4], L, H, I),
+            "up_proj": w(keys[5], L, H, I),
+            "down_proj": w(keys[6], L, I, H),
+        }
+        if self.qkv_bias:
+            layers["q_bias"] = jnp.zeros((L, Hq * D), dt)
+            layers["k_bias"] = jnp.zeros((L, Hkv * D), dt)
+            layers["v_bias"] = jnp.zeros((L, Hkv * D), dt)
+        if self.qk_norm:
+            layers["q_norm"] = jnp.ones((L, D), dt)
+            layers["k_norm"] = jnp.ones((L, D), dt)
+        params = {
+            "embed_tokens": w(keys[7], V, H),
+            "norm": jnp.ones((H,), dt),
+            "layers": layers,
+        }
+        if not self.tie_embeddings:
+            params["lm_head"] = w(keys[8], H, V)
+        return params
+
+    def load_weights(self, path: str) -> dict[str, Any]:
+        from vllm_omni_tpu.models.weight_loader import load_qwen_decoder_weights
+
+        return load_qwen_decoder_weights(
+            path,
+            num_layers=self.L,
+            dtype=self.dtype,
+            qkv_bias=self.qkv_bias,
+            qk_norm=self.qk_norm,
+            tie_embeddings=self.tie_embeddings,
+        )
+
+    # ------------------------------------------------------------ forward
+    def embed_tokens(self, params, token_ids: jax.Array) -> jax.Array:
+        return embed(token_ids, params["embed_tokens"])
+
+    def forward(
+        self,
+        params: dict[str, Any],
+        hidden: jax.Array,  # [T, H] embeddings
+        kv_cache: dict[str, jax.Array],  # {"k","v"}: [L, Hkv, Nblk, B, D]
+        meta: AttentionMetadata,
+        attention_backend: Optional[str] = None,
+    ) -> tuple[jax.Array, dict[str, jax.Array]]:
+        T = hidden.shape[0]
+        lp = params["layers"]
+        cos, sin = self._cos, self._sin
+
+        def layer(carry, xs):
+            h = carry
+            p, k_c, v_c = xs
+            res = h
+            h_n = rms_norm(h, p["input_layernorm"], self.eps)
+            q = linear(h_n, p["q_proj"], p.get("q_bias"))
+            k = linear(h_n, p["k_proj"], p.get("k_bias"))
+            v = linear(h_n, p["v_proj"], p.get("v_bias"))
+            q = q.reshape(T, self.Hq, self.D)
+            k = k.reshape(T, self.Hkv, self.D)
+            v = v.reshape(T, self.Hkv, self.D)
+            if self.qk_norm:
+                q = rms_norm(q, p["q_norm"], self.eps)
+                k = rms_norm(k, p["k_norm"], self.eps)
+            q, k = apply_rope(
+                q, k, meta.positions, cos, sin, mrope_section=self.mrope_section
+            )
+            k_c, v_c = write_kv(k_c, v_c, k, v, meta.slot_mapping)
+            attn = ragged_paged_attention(
+                q, k_c, v_c,
+                meta.q_starts, meta.q_lens, meta.seq_lens, meta.block_tables,
+                meta.positions if meta.positions.ndim == 1 else meta.positions[0],
+                meta.token_rows,
+                scale=self.scale,
+                sliding_window=self.sliding_window,
+                backend=attention_backend,
+            )
+            h = res + linear(attn.reshape(T, self.Hq * self.D), p["o_proj"])
+            res = h
+            h_n = rms_norm(h, p["post_attention_layernorm"], self.eps)
+            h = res + swiglu_mlp(h_n, p)
+            return h, (k_c, v_c)
+
+        hidden, (new_k, new_v) = jax.lax.scan(
+            layer, hidden, (lp, kv_cache["k"], kv_cache["v"])
+        )
+        hidden = rms_norm(hidden, params["norm"], self.eps)
+        return hidden, {"k": new_k, "v": new_v}
+
+    def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
+        head = params.get("lm_head")
+        if head is None:
+            head = params["embed_tokens"].T
+        return unembed(hidden, head)
+
+
+class Qwen3ForCausalLM(Qwen2ForCausalLM):
+    """Qwen3 dense: no QKV bias, per-head q/k RMSNorm."""
+
+    qkv_bias = False
+    qk_norm = True

@@ -15,8 +15,8 @@ Two implementations behind one signature:
 
 Shapes:
   q            [T, Hq, D]    flattened new tokens
-  k_cache      [N_blk, B, Hkv, D]
-  v_cache      [N_blk, B, Hkv, D]
+  k_cache      [Hkv, N_blk, B, D]   (head-major: per-head pages are
+  v_cache      [Hkv, N_blk, B, D]    contiguous [B, D] tiles for DMA)
   q_starts     [S] int32     token-axis start of each row's segment
   q_lens       [S] int32     segment length (0 = idle row)
   seq_lens     [S] int32     total kv len per row (incl. this step's tokens)
@@ -38,7 +38,7 @@ NEG_INF = -1e30
 
 
 def write_kv(
-    k_cache: jax.Array,  # [N_blk, B, Hkv, D]
+    k_cache: jax.Array,  # [Hkv, N_blk, B, D]
     v_cache: jax.Array,
     k_new: jax.Array,  # [T, Hkv, D]
     v_new: jax.Array,
@@ -46,12 +46,14 @@ def write_kv(
 ) -> tuple[jax.Array, jax.Array]:
     """Scatter this step's K/V into the paged cache (pad tokens hit the
     reserved pad block 0, harmlessly)."""
-    nb, bs, hk, d = k_cache.shape
-    k_flat = k_cache.reshape(nb * bs, hk, d)
-    v_flat = v_cache.reshape(nb * bs, hk, d)
-    k_flat = k_flat.at[slot_mapping].set(k_new.astype(k_cache.dtype))
-    v_flat = v_flat.at[slot_mapping].set(v_new.astype(v_cache.dtype))
-    return k_flat.reshape(nb, bs, hk, d), v_flat.reshape(nb, bs, hk, d)
+    hk, nb, bs, d = k_cache.shape
+    k_flat = k_cache.reshape(hk, nb * bs, d)
+    v_flat = v_cache.reshape(hk, nb * bs, d)
+    k_t = jnp.swapaxes(k_new, 0, 1).astype(k_cache.dtype)  # [Hkv, T, D]
+    v_t = jnp.swapaxes(v_new, 0, 1).astype(v_cache.dtype)
+    k_flat = k_flat.at[:, slot_mapping].set(k_t)
+    v_flat = v_flat.at[:, slot_mapping].set(v_t)
+    return k_flat.reshape(hk, nb, bs, d), v_flat.reshape(hk, nb, bs, d)
 
 
 @partial(
@@ -74,7 +76,7 @@ def ragged_paged_attention_ref(
 ) -> jax.Array:
     T, Hq, D = q.shape
     S, MAXB = block_tables.shape
-    _, B, Hkv, _ = k_cache.shape
+    Hkv, _, B, _ = k_cache.shape
     G = Hq // Hkv
     L = MAXB * B  # max kv length (static)
 
@@ -82,13 +84,13 @@ def ragged_paged_attention_ref(
 
     def per_row(carry, s):
         out = carry
-        # gather this row's pages -> [L, Hkv, D]
+        # gather this row's pages -> [Hkv, L, D]
         blocks = block_tables[s]  # [MAXB]
-        k_s = k_cache[blocks].reshape(L, Hkv, D).astype(jnp.float32)
-        v_s = v_cache[blocks].reshape(L, Hkv, D).astype(jnp.float32)
+        k_s = k_cache[:, blocks].reshape(Hkv, L, D).astype(jnp.float32)
+        v_s = v_cache[:, blocks].reshape(Hkv, L, D).astype(jnp.float32)
         # scores for ALL query tokens vs this row's KV: [T, Hkv, G, L]
         qg = qf.reshape(T, Hkv, G, D)
-        scores = jnp.einsum("thgd,lhd->thgl", qg, k_s) * scale
+        scores = jnp.einsum("thgd,hld->thgl", qg, k_s) * scale
         if logit_cap > 0.0:
             scores = logit_cap * jnp.tanh(scores / logit_cap)
         kv_pos = jnp.arange(L, dtype=jnp.int32)
@@ -103,13 +105,22 @@ def ragged_paged_attention_ref(
         # rows with no valid kv produce uniform garbage; zero them via mask
         any_valid = mask.any(axis=-1)[:, None, None, None]
         probs = jnp.where(any_valid, probs, 0.0)
-        o_s = jnp.einsum("thgl,lhd->thgd", probs, v_s).reshape(T, Hq, D)
+        o_s = jnp.einsum("thgl,hld->thgd", probs, v_s).reshape(T, Hq, D)
         out = out + jnp.where(row_mask[:, :, None].reshape(T, 1, 1), o_s, 0.0)
         return out, None
 
     init = jnp.zeros((T, Hq, D), jnp.float32)
     out, _ = jax.lax.scan(per_row, init, jnp.arange(S))
     return out.astype(q.dtype)
+
+
+def _pallas_supported(q, k_cache) -> bool:
+    """Mosaic tiling constraints for the pallas kernel; anything else
+    falls back to the XLA reference (e.g. tiny test models with
+    head_dim < 128)."""
+    D = q.shape[-1]
+    B = k_cache.shape[2]
+    return D % 128 == 0 and B % 8 == 0
 
 
 def ragged_paged_attention(
@@ -134,6 +145,8 @@ def ragged_paged_attention(
         backend = envs.attention_backend()
     if backend == "auto":
         backend = "pallas" if envs.is_tpu_platform() else "xla"
+    if backend == "pallas" and not _pallas_supported(q, k_cache):
+        backend = "xla"
     if backend == "pallas":
         from vllm_omni_tpu.ops.attention.pallas_ragged import (
             ragged_paged_attention_pallas,

@@ -29,8 +29,11 @@ class SamplingState(NamedTuple):
 
     @classmethod
     def init(cls, num_rows: int, vocab_size: int) -> "SamplingState":
-        z = jnp.zeros((num_rows, vocab_size), jnp.int32)
-        return cls(all_counts=z, out_counts=z)
+        # two distinct buffers — they are donated separately in the step fn
+        return cls(
+            all_counts=jnp.zeros((num_rows, vocab_size), jnp.int32),
+            out_counts=jnp.zeros((num_rows, vocab_size), jnp.int32),
+        )
 
     def reset_rows(self, reset_mask: jax.Array) -> "SamplingState":
         keep = (~reset_mask)[:, None].astype(jnp.int32)
