@@ -48,18 +48,26 @@ class ModelRunner:
         rng_seed: int = 0,
         model: Optional[Any] = None,
         attention_backend: Optional[str] = None,
+        devices: Optional[list] = None,
     ):
         self.config = config
         mc = config.model_config
         self.model = model if model is not None else resolve_ar_model(
             mc.architecture)(mc)
         self.attention_backend = attention_backend
+        pc = config.parallel_config
+        self.tp = pc.tensor_parallel_size
+        self.mesh = pc.build_mesh(devices) if pc.world_size > 1 else None
         if load_weights and mc.model:
             self.params = self.model.load_weights(mc.model)
         else:
             self.params = self.model.init_params(jax.random.key(rng_seed))
         self.num_blocks = self._decide_num_blocks()
         spec = self.model.kv_spec
+        if self.tp > 1 and spec.num_kv_heads % self.tp != 0:
+            raise ValueError(
+                f"num_kv_heads {spec.num_kv_heads} not divisible by tp {self.tp}"
+            )
         B = config.cache_config.block_size
         # head-major paged layout: per-head pages are contiguous [B, D]
         # tiles for the pallas kernel's DMAs
@@ -71,10 +79,30 @@ class ModelRunner:
         }
         S = config.scheduler_config.max_num_seqs
         self.sampling_state = SamplingState.init(S, mc.vocab_size)
-        self._step_fn = self._build_step_fn()
+        if self.mesh is not None:
+            self._shard_state()
+        self._step_fns: dict[Any, Callable] = {}
         logger.info(
-            "ModelRunner ready: %s, %d KV blocks x %d tokens, %d rows",
-            mc.architecture, self.num_blocks, B, S,
+            "ModelRunner ready: %s, %d KV blocks x %d tokens, %d rows, tp=%d",
+            mc.architecture, self.num_blocks, B, S, self.tp,
+        )
+
+    def _shard_state(self) -> None:
+        from vllm_omni_tpu.parallel.sharding import (
+            REPLICATED,
+            kv_cache_specs,
+            place,
+            qwen_param_specs,
+        )
+
+        self.param_specs = qwen_param_specs(self.params)
+        self.kv_specs = kv_cache_specs()
+        self.params = place(self.params, self.param_specs, self.mesh)
+        self.kv_cache = place(self.kv_cache, self.kv_specs, self.mesh)
+        self.sampling_state = place(
+            self.sampling_state,
+            SamplingState(REPLICATED, REPLICATED),
+            self.mesh,
         )
 
     # ----------------------------------------------------------- sizing
@@ -101,11 +129,11 @@ class ModelRunner:
         return min(n, cap)
 
     # ------------------------------------------------------------- step
-    def _build_step_fn(self) -> Callable:
+    def _build_step_fn(self, has_embeds: bool, donate: bool = True) -> Callable:
         model = self.model
         backend = self.attention_backend
+        tp_axis = "model" if (self.mesh is not None and self.tp > 1) else None
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
         def step(params, kv_cache, state: SamplingState, d: dict):
             token_ids = d["token_ids"]
             embeds = model.embed_tokens(params, token_ids)
@@ -122,10 +150,13 @@ class ModelRunner:
                 slot_mapping=d["slot_mapping"],
             )
             hidden, kv_cache = model.forward(
-                params, embeds, kv_cache, meta, attention_backend=backend
+                params, embeds, kv_cache, meta,
+                attention_backend=backend, tp_axis=tp_axis,
             )
             rows_hidden = hidden[d["logits_indices"]]  # [S, H]
-            logits = model.compute_logits(params, rows_hidden)  # [S, V] f32
+            logits = model.compute_logits(
+                params, rows_hidden, tp_axis=tp_axis
+            )  # [S, V] f32
             logits = logits.astype(jnp.float32)
 
             state = state.reset_rows(d["reset_rows"])
@@ -149,10 +180,46 @@ class ModelRunner:
                 aux.update(model.aux_outputs(params, rows_hidden, sampled))
             return sampled, kv_cache, state, aux
 
-        return step
+        donate_argnums = (1, 2) if donate else ()
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=donate_argnums)
 
-    def execute(self, desc: BatchDescriptor) -> tuple[np.ndarray, dict[str, Any]]:
-        """Run one step; returns (sampled tokens [S] on host, aux device arrays)."""
+        # SPMD over the stage mesh: params column/row-sharded, KV heads
+        # sharded; everything else replicated. Explicit psums live inside
+        # the model forward (Megatron TP).
+        from vllm_omni_tpu.parallel.sharding import REPLICATED
+
+        rep = REPLICATED
+        d_spec = {
+            k: rep
+            for k in (
+                "token_ids positions token_rows slot_mapping is_prompt_token "
+                "q_lens cu_q_lens seq_lens block_tables logits_indices "
+                "do_sample reset_rows temperature top_p top_k min_p "
+                "repetition_penalty presence_penalty frequency_penalty "
+                "seeds step_counters"
+            ).split()
+        }
+        if has_embeds:
+            d_spec["prompt_embeds"] = rep
+            d_spec["use_embeds"] = rep
+        aux_spec = {"last_hidden": rep}
+        aux_spec.update(getattr(self.model, "aux_out_specs", {}))
+        sharded = jax.shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(
+                self.param_specs,
+                self.kv_specs,
+                SamplingState(rep, rep),
+                d_spec,
+            ),
+            out_specs=(rep, self.kv_specs, SamplingState(rep, rep), aux_spec),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=donate_argnums)
+
+    def desc_to_device_dict(self, desc: BatchDescriptor) -> dict[str, Any]:
         d = {
             "token_ids": desc.token_ids,
             "positions": desc.positions,
@@ -179,7 +246,16 @@ class ModelRunner:
         if desc.prompt_embeds is not None:
             d["prompt_embeds"] = desc.prompt_embeds
             d["use_embeds"] = desc.use_embeds
-        sampled, self.kv_cache, self.sampling_state, aux = self._step_fn(
+        return d
+
+    def execute(self, desc: BatchDescriptor) -> tuple[np.ndarray, dict[str, Any]]:
+        """Run one step; returns (sampled tokens [S] on host, aux device arrays)."""
+        d = self.desc_to_device_dict(desc)
+        has_embeds = "prompt_embeds" in d
+        step_fn = self._step_fns.get(has_embeds)
+        if step_fn is None:
+            step_fn = self._step_fns[has_embeds] = self._build_step_fn(has_embeds)
+        sampled, self.kv_cache, self.sampling_state, aux = step_fn(
             self.params, self.kv_cache, self.sampling_state, d
         )
         return np.asarray(jax.device_get(sampled)), aux

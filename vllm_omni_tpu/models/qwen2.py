@@ -125,7 +125,13 @@ class Qwen2ForCausalLM:
         kv_cache: dict[str, jax.Array],  # {"k","v"}: [L, Hkv, Nblk, B, D]
         meta: AttentionMetadata,
         attention_backend: Optional[str] = None,
+        tp_axis: Optional[str] = None,
     ) -> tuple[jax.Array, dict[str, jax.Array]]:
+        """Decoder forward. When running inside shard_map with column/row-
+        sharded params (parallel/sharding.py), `tp_axis` names the mesh axis
+        to psum partial o_proj/down_proj results over (Megatron TP)."""
+        from vllm_omni_tpu.parallel.sharding import psum_if
+
         T = hidden.shape[0]
         lp = params["layers"]
         cos, sin = self._cos, self._sin
@@ -138,9 +144,10 @@ class Qwen2ForCausalLM:
             q = linear(h_n, p["q_proj"], p.get("q_bias"))
             k = linear(h_n, p["k_proj"], p.get("k_bias"))
             v = linear(h_n, p["v_proj"], p.get("v_bias"))
-            q = q.reshape(T, self.Hq, self.D)
-            k = k.reshape(T, self.Hkv, self.D)
-            v = v.reshape(T, self.Hkv, self.D)
+            # head counts derive from the (possibly TP-sharded) arrays
+            q = q.reshape(T, -1, self.D)
+            k = k.reshape(T, -1, self.D)
+            v = v.reshape(T, -1, self.D)
             if self.qk_norm:
                 q = rms_norm(q, p["q_norm"], self.eps)
                 k = rms_norm(k, p["k_norm"], self.eps)
@@ -157,10 +164,17 @@ class Qwen2ForCausalLM:
                 sliding_window=self.sliding_window,
                 backend=attention_backend,
             )
-            h = res + linear(attn.reshape(T, self.Hq * self.D), p["o_proj"])
+            attn_out = linear(attn.reshape(T, -1), p["o_proj"])
+            h = res + psum_if(attn_out, tp_axis)
             res = h
             h_n = rms_norm(h, p["post_attention_layernorm"], self.eps)
-            h = res + swiglu_mlp(h_n, p)
+            gate = linear(h_n, p["gate_proj"])
+            up = linear(h_n, p["up_proj"])
+            mlp_out = linear(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(h_n.dtype) * up,
+                p["down_proj"],
+            )
+            h = res + psum_if(mlp_out, tp_axis)
             return h, (k_c, v_c)
 
         hidden, (new_k, new_v) = jax.lax.scan(
@@ -169,11 +183,18 @@ class Qwen2ForCausalLM:
         hidden = rms_norm(hidden, params["norm"], self.eps)
         return hidden, {"k": new_k, "v": new_v}
 
-    def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
+    def compute_logits(
+        self, params, hidden: jax.Array, tp_axis: Optional[str] = None
+    ) -> jax.Array:
+        from vllm_omni_tpu.parallel.sharding import all_gather_if
+
         head = params.get("lm_head")
         if head is None:
-            head = params["embed_tokens"].T
-        return unembed(hidden, head)
+            # tied embeddings are replicated -> full logits locally
+            return unembed(hidden, params["embed_tokens"].T)
+        logits = unembed(hidden, head)
+        # vocab-sharded head -> gather shards (tiled, in mesh order)
+        return all_gather_if(logits, tp_axis, gather_axis=-1)
 
 
 class Qwen3ForCausalLM(Qwen2ForCausalLM):
