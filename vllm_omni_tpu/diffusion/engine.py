@@ -1,0 +1,108 @@
+"""Diffusion engine: single-controller pipeline executor.
+
+Parity role: DiffusionEngine + Scheduler + GPUWorker/WorkerProc (reference
+diffusion/diffusion_engine.py:56-363, scheduler.py:14-87,
+worker/gpu_worker.py:32-314). The reference spawns one process per GPU
+with broadcast MessageQueues because torch needs a process per device; on
+TPU one controller drives the whole mesh, so the engine IS the worker —
+requests execute inline under jit. Like the reference's diffusion
+scheduler, requests run one at a time (reference gpu_worker.py:129).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from vllm_omni_tpu.config.diffusion import (
+    OmniDiffusionConfig,
+    set_current_omni_diffusion_config,
+)
+from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.models.registry import (
+    pipeline_class_from_model_index,
+    resolve_diffusion_pipeline,
+)
+from vllm_omni_tpu.outputs import OmniRequestOutput
+
+logger = init_logger(__name__)
+
+
+def tensor_to_pil(image) -> list[Any]:
+    """[B,3,H,W] in [-1,1] -> list of PIL images (postprocess parity with
+    the reference image_processor.postprocess)."""
+    arr = np.asarray(image, np.float32)
+    arr = np.clip(arr / 2 + 0.5, 0.0, 1.0)
+    arr = (arr * 255).round().astype(np.uint8).transpose(0, 2, 3, 1)
+    try:
+        from PIL import Image
+
+        return [Image.fromarray(a) for a in arr]
+    except ImportError:
+        return [a for a in arr]
+
+
+class DiffusionEngine:
+    def __init__(
+        self,
+        od_config: OmniDiffusionConfig,
+        pipeline: Optional[Any] = None,
+        load_weights: bool = True,
+        text_encoder: Optional[Callable] = None,
+    ):
+        self.od_config = od_config
+        set_current_omni_diffusion_config(od_config)
+        if pipeline is not None:
+            self.pipeline = pipeline
+        else:
+            cls_name = od_config.pipeline_class or pipeline_class_from_model_index(
+                od_config.model
+            )
+            if cls_name is None:
+                raise ValueError(
+                    f"cannot resolve pipeline class for {od_config.model!r}"
+                )
+            pipe_cls = resolve_diffusion_pipeline(cls_name)
+            self.pipeline = pipe_cls(
+                od_config, load_weights=load_weights, text_encoder=text_encoder
+            )
+        if od_config.cache_config.cache_backend:
+            from vllm_omni_tpu.diffusion.cache import get_cache_backend
+
+            self.pipeline.cache_backend = get_cache_backend(
+                od_config.cache_config, self.pipeline
+            )
+
+    def step(self, requests: list[OmniDiffusionRequest]) -> list[OmniRequestOutput]:
+        outputs = []
+        for req in requests:
+            try:
+                result, metrics = self.pipeline.forward(req)
+                if req.output_type == "latent":
+                    out = OmniRequestOutput.from_diffusion(
+                        request_id=req.request_id, images=None,
+                        latents=result, prompt=str(req.prompt),
+                        metrics=metrics,
+                    )
+                else:
+                    images = tensor_to_pil(result)
+                    if req.output_type == "np":
+                        images = [np.asarray(im) for im in images]
+                    out = OmniRequestOutput.from_diffusion(
+                        request_id=req.request_id, images=images,
+                        prompt=str(req.prompt), metrics=metrics,
+                    )
+            except Exception as e:  # error surface parity: engine returns
+                # per-request errors instead of crashing (reference
+                # omni_stage.py:822-833)
+                logger.exception("diffusion request %s failed", req.request_id)
+                out = OmniRequestOutput.from_diffusion(
+                    request_id=req.request_id, images=None, error=str(e),
+                )
+            outputs.append(out)
+        return outputs
+
+    def shutdown(self) -> None:
+        set_current_omni_diffusion_config(None)

@@ -1,0 +1,11 @@
+from vllm_omni_tpu.diffusion.models.qwen_image.pipeline import (
+    QwenImagePipeline,
+    QwenImageEditPipeline,
+    QwenImageEditPlusPipeline,
+)
+
+__all__ = [
+    "QwenImagePipeline",
+    "QwenImageEditPipeline",
+    "QwenImageEditPlusPipeline",
+]

@@ -1,0 +1,278 @@
+"""QwenImage (Wan-style) 3D causal VAE in functional JAX.
+
+Behavioral parity with AutoencoderKLQwenImage (reference
+diffusion/models/qwen_image/autoencoder_kl_qwenimage.py:41-1054):
+causal 3D convs (2*pad left on time), channel RMS-norm, residual blocks,
+single-head spatial attention mid-block, nearest-exact 2x spatial
+up/downsampling, quant/post-quant 1x1 convs, per-channel latents
+mean/std normalization handled by the pipeline.
+
+The reference's feature-cache streaming (chunked temporal decode) is an
+orthogonal memory optimization and is not replicated; slicing/tiling are
+handled at the pipeline level when enabled.
+
+Layout: NCDHW to match weight semantics; XLA lays out convs for TPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class QwenImageVAEConfig:
+    base_dim: int = 96
+    z_dim: int = 16
+    dim_mult: tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_scales: tuple[float, ...] = ()
+    temperal_downsample: tuple[bool, ...] = (False, True, True)
+    input_channels: int = 3
+    latents_mean: Optional[list[float]] = None
+    latents_std: Optional[list[float]] = None
+
+    @classmethod
+    def from_hf(cls, d: dict[str, Any]) -> "QwenImageVAEConfig":
+        kwargs = {}
+        for src, dst in [
+            ("base_dim", "base_dim"), ("z_dim", "z_dim"),
+            ("dim_mult", "dim_mult"), ("num_res_blocks", "num_res_blocks"),
+            ("attn_scales", "attn_scales"),
+            ("temperal_downsample", "temperal_downsample"),
+            ("latents_mean", "latents_mean"), ("latents_std", "latents_std"),
+        ]:
+            if src in d and d[src] is not None:
+                v = d[src]
+                kwargs[dst] = tuple(v) if isinstance(v, list) and dst not in (
+                    "latents_mean", "latents_std") else v
+        return cls(**kwargs)
+
+
+# ------------------------------------------------------------------- ops
+def causal_conv3d(x, w, b, stride=(1, 1, 1), padding=(1, 1, 1)):
+    """x [N,C,T,H,W], w [O,I,kt,kh,kw]; time padded 2*pt on the left."""
+    pt, ph, pw = padding
+    x = jnp.pad(
+        x, ((0, 0), (0, 0), (2 * pt, 0), (ph, ph), (pw, pw))
+    )
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=stride, padding="VALID",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    )
+    return out + b.astype(x.dtype)[None, :, None, None, None]
+
+
+def conv2d_on_frames(x, w, b, stride=(1, 1), padding=((1, 1), (1, 1))):
+    """Apply a 2D conv to every frame of [N,C,T,H,W]."""
+    N, C, T, H, W = x.shape
+    x2 = x.transpose(0, 2, 1, 3, 4).reshape(N * T, C, H, W)
+    out = jax.lax.conv_general_dilated(
+        x2, w.astype(x.dtype), window_strides=stride, padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    ) + b.astype(x.dtype)[None, :, None, None]
+    O, Ho, Wo = out.shape[1], out.shape[2], out.shape[3]
+    return out.reshape(N, T, O, Ho, Wo).transpose(0, 2, 1, 3, 4)
+
+
+def channel_rms_norm(x, gamma):
+    """F.normalize over channel dim * sqrt(C) * gamma (reference
+    QwenImageRMS_norm, images=False)."""
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=1, keepdims=True) + 1e-12)
+    scale = x.shape[1] ** 0.5
+    g = gamma.astype(jnp.float32)[None, :, None, None, None]
+    return ((xf / norm) * scale * g).astype(x.dtype)
+
+
+def _silu(x):
+    return jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def residual_block(x, p):
+    h = x
+    if "shortcut" in p:
+        h = causal_conv3d(x, p["shortcut"]["w"], p["shortcut"]["b"], padding=(0, 0, 0))
+    y = channel_rms_norm(x, p["norm1"])
+    y = _silu(y)
+    y = causal_conv3d(y, p["conv1"]["w"], p["conv1"]["b"])
+    y = channel_rms_norm(y, p["norm2"])
+    y = _silu(y)
+    y = causal_conv3d(y, p["conv2"]["w"], p["conv2"]["b"])
+    return y + h
+
+
+def attention_block(x, p):
+    """Single-head spatial self-attention per frame."""
+    N, C, T, H, W = x.shape
+    idn = x
+    y = channel_rms_norm(x, p["norm"])
+    y2 = y.transpose(0, 2, 1, 3, 4).reshape(N * T, C, H, W)
+    qkv = jax.lax.conv_general_dilated(
+        y2, p["qkv"]["w"].astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    ) + p["qkv"]["b"].astype(x.dtype)[None, :, None, None]
+    qkv = qkv.reshape(N * T, 3 * C, H * W).transpose(0, 2, 1)  # [NT, HW, 3C]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    scores = jnp.einsum("nld,nmd->nlm", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * (C ** -0.5), axis=-1).astype(v.dtype)
+    o = jnp.einsum("nlm,nmd->nld", probs, v)  # [NT, HW, C]
+    o = o.transpose(0, 2, 1).reshape(N * T, C, H, W)
+    o = jax.lax.conv_general_dilated(
+        o, p["proj"]["w"].astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    ) + p["proj"]["b"].astype(x.dtype)[None, :, None, None]
+    o = o.reshape(N, T, C, H, W).transpose(0, 2, 1, 3, 4)
+    return o + idn
+
+
+def upsample2x_spatial(x):
+    """nearest-exact 2x on H and W."""
+    x = jnp.repeat(x, 2, axis=3)
+    x = jnp.repeat(x, 2, axis=4)
+    return x
+
+
+def mid_block(x, p):
+    x = residual_block(x, p["res0"])
+    x = attention_block(x, p["attn"])
+    x = residual_block(x, p["res1"])
+    return x
+
+
+class AutoencoderKLQwenImage:
+    def __init__(self, config: QwenImageVAEConfig, dtype=jnp.float32):
+        self.cfg = config
+        self.dtype = dtype
+
+    # ----------------------------------------------------------- params
+    def init_params(self, rng: jax.Array) -> dict[str, Any]:
+        c, dt = self.cfg, self.dtype
+        key = [rng]
+
+        def nxt():
+            key[0], k = jax.random.split(key[0])
+            return k
+
+        def conv(i, o, kt=3, kh=3, kw=3, scale=0.05):
+            return {
+                "w": (jax.random.normal(nxt(), (o, i, kt, kh, kw), jnp.float32)
+                      * scale).astype(dt),
+                "b": jnp.zeros((o,), dt),
+            }
+
+        def conv2(i, o, k=3, scale=0.05):
+            return {
+                "w": (jax.random.normal(nxt(), (o, i, k, k), jnp.float32)
+                      * scale).astype(dt),
+                "b": jnp.zeros((o,), dt),
+            }
+
+        def res(i, o):
+            p = {
+                "norm1": jnp.ones((i,), dt), "conv1": conv(i, o),
+                "norm2": jnp.ones((o,), dt), "conv2": conv(o, o),
+            }
+            if i != o:
+                p["shortcut"] = conv(i, o, 1, 1, 1)
+            return p
+
+        def attn(d):
+            return {
+                "norm": jnp.ones((d,), dt),
+                "qkv": conv2(d, 3 * d, 1),
+                "proj": conv2(d, d, 1),
+            }
+
+        def mid(d):
+            return {"res0": res(d, d), "attn": attn(d), "res1": res(d, d)}
+
+        # encoder
+        dims = [c.base_dim * u for u in (1,) + tuple(c.dim_mult)]
+        enc_blocks = []
+        for i, (di, do) in enumerate(zip(dims[:-1], dims[1:])):
+            stage = {"res": [res(di if r == 0 else do, do)
+                             for r in range(c.num_res_blocks)]}
+            if i != len(c.dim_mult) - 1:
+                stage["down"] = conv2(do, do, 3)
+            enc_blocks.append(stage)
+        encoder = {
+            "conv_in": conv(c.input_channels, dims[0]),
+            "blocks": enc_blocks,
+            "mid": mid(dims[-1]),
+            "norm_out": jnp.ones((dims[-1],), dt),
+            "conv_out": conv(dims[-1], c.z_dim * 2),
+        }
+        # decoder
+        ddims = [c.base_dim * u for u in (c.dim_mult[-1],) + tuple(c.dim_mult[::-1])]
+        dec_blocks = []
+        for i, (di, do) in enumerate(zip(ddims[:-1], ddims[1:])):
+            di_eff = di // 2 if i > 0 else di
+            stage = {"res": [res(di_eff if r == 0 else do, do)
+                             for r in range(c.num_res_blocks + 1)]}
+            if i != len(c.dim_mult) - 1:
+                stage["up"] = conv2(do, do // 2, 3)
+            dec_blocks.append(stage)
+        decoder = {
+            "conv_in": conv(c.z_dim, ddims[0]),
+            "mid": mid(ddims[0]),
+            "blocks": dec_blocks,
+            # last up-stage has no upsampler, so final channels = ddims[-1]
+            "norm_out": jnp.ones((ddims[-1],), dt),
+            "conv_out": conv(ddims[-1], c.input_channels),
+        }
+        return {
+            "encoder": encoder,
+            "decoder": decoder,
+            "quant_conv": conv(c.z_dim * 2, c.z_dim * 2, 1, 1, 1),
+            "post_quant_conv": conv(c.z_dim, c.z_dim, 1, 1, 1),
+        }
+
+    # ---------------------------------------------------------- encode
+    def encode(self, params, x: jax.Array) -> jax.Array:
+        """x [N,3,T,H,W] in [-1,1] -> latent mean [N,z,T',H/8,W/8]
+        (mode of the posterior; sampling is the caller's choice)."""
+        c = self.cfg
+        e = params["encoder"]
+        h = causal_conv3d(x, e["conv_in"]["w"], e["conv_in"]["b"])
+        for i, stage in enumerate(e["blocks"]):
+            for rp in stage["res"]:
+                h = residual_block(h, rp)
+            if "down" in stage:
+                # zero-pad right/bottom then stride-2 conv (reference
+                # QwenImageResample downsample2d)
+                h2 = jnp.pad(h, ((0, 0), (0, 0), (0, 0), (0, 1), (0, 1)))
+                h = conv2d_on_frames(
+                    h2, stage["down"]["w"], stage["down"]["b"],
+                    stride=(2, 2), padding=((0, 0), (0, 0)),
+                )
+        h = mid_block(h, e["mid"])
+        h = channel_rms_norm(h, e["norm_out"])
+        h = _silu(h)
+        h = causal_conv3d(h, e["conv_out"]["w"], e["conv_out"]["b"])
+        h = causal_conv3d(h, params["quant_conv"]["w"], params["quant_conv"]["b"],
+                          padding=(0, 0, 0))
+        mean, _logvar = jnp.split(h, 2, axis=1)
+        return mean
+
+    # ---------------------------------------------------------- decode
+    def decode(self, params, z: jax.Array) -> jax.Array:
+        """z [N,z_dim,T,h,w] (already un-normalized) -> [N,3,T,8h,8w]."""
+        d = params["decoder"]
+        h = causal_conv3d(z, params["post_quant_conv"]["w"],
+                          params["post_quant_conv"]["b"], padding=(0, 0, 0))
+        h = causal_conv3d(h, d["conv_in"]["w"], d["conv_in"]["b"])
+        h = mid_block(h, d["mid"])
+        for stage in d["blocks"]:
+            for rp in stage["res"]:
+                h = residual_block(h, rp)
+            if "up" in stage:
+                h = upsample2x_spatial(h)
+                h = conv2d_on_frames(h, stage["up"]["w"], stage["up"]["b"])
+        h = channel_rms_norm(h, d["norm_out"])
+        h = _silu(h)
+        h = causal_conv3d(h, d["conv_out"]["w"], d["conv_out"]["b"])
+        return h
