@@ -10,6 +10,8 @@ from __future__ import annotations
 import time
 from typing import Any, Optional, Sequence, Union
 
+import numpy as np
+
 import jax
 
 from vllm_omni_tpu.config.engine import EngineArgs, EngineConfig
@@ -104,11 +106,15 @@ class LLM:
             prompt_text = parsed.prompt
         elif isinstance(parsed, OmniTokensPrompt):
             token_ids = list(parsed.prompt_token_ids)
+            if not all(isinstance(t, (int, np.integer)) for t in token_ids):
+                raise ValueError(
+                    "prompt_token_ids must be a list of ints, got "
+                    f"{type(parsed.prompt_token_ids).__name__} with "
+                    f"element types {set(type(t).__name__ for t in token_ids[:5])}"
+                )
             prompt_embeds = parsed.prompt_embeds
             additional_information = parsed.additional_information
         elif isinstance(parsed, OmniEmbedsPrompt):
-            import numpy as np
-
             n = int(np.asarray(parsed.prompt_embeds).shape[0])
             token_ids = [0] * n
             prompt_embeds = parsed.prompt_embeds

@@ -130,9 +130,18 @@ class ModelRunner:
 
     # ------------------------------------------------------------- step
     def _build_step_fn(self, has_embeds: bool, donate: bool = True) -> Callable:
+        import inspect
+
         model = self.model
         backend = self.attention_backend
         tp_axis = "model" if (self.mesh is not None and self.tp > 1) else None
+        ep = self.config.parallel_config.expert_parallel_size
+        fwd_params = inspect.signature(model.forward).parameters
+        fwd_kwargs = {}
+        if "ep_axis" in fwd_params:
+            fwd_kwargs["ep_axis"] = (
+                "expert" if (self.mesh is not None and ep > 1) else None
+            )
 
         def step(params, kv_cache, state: SamplingState, d: dict):
             token_ids = d["token_ids"]
@@ -151,7 +160,7 @@ class ModelRunner:
             )
             hidden, kv_cache = model.forward(
                 params, embeds, kv_cache, meta,
-                attention_backend=backend, tp_axis=tp_axis,
+                attention_backend=backend, tp_axis=tp_axis, **fwd_kwargs,
             )
             rows_hidden = hidden[d["logits_indices"]]  # [S, H]
             logits = model.compute_logits(

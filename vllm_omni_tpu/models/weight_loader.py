@@ -121,6 +121,88 @@ def load_qwen_decoder_weights(
     return params
 
 
+_EXPERT_RE = re.compile(
+    r"^(?:model\.)?layers\.(\d+)\.mlp\.experts\.(\d+)\.(gate_proj|up_proj|down_proj)\.weight$"
+)
+_ROUTER_RE = re.compile(r"^(?:model\.)?layers\.(\d+)\.mlp\.gate\.weight$")
+
+_EXPERT_KEY = {
+    "gate_proj": "experts_gate",
+    "up_proj": "experts_up",
+    "down_proj": "experts_down",
+}
+
+
+def load_qwen_moe_weights(
+    path: str,
+    num_layers: int,
+    num_experts: int,
+    dtype,
+    qk_norm: bool = True,
+    tie_embeddings: bool = False,
+    prefix: str = "",
+) -> dict[str, Any]:
+    """Qwen3-MoE: attention stack as load_qwen_decoder_weights plus
+    per-layer router [H, E] and stacked expert weights [L, E, in, out]."""
+    per_layer: dict[str, dict[int, np.ndarray]] = {}
+    experts: dict[str, dict[tuple[int, int], np.ndarray]] = {}
+    routers: dict[int, np.ndarray] = {}
+    top: dict[str, np.ndarray] = {}
+    attn_keys = {k: v for k, v in _DECODER_MAP.items() if not k.startswith("mlp.")}
+    for name, arr in iter_safetensors(path, prefix=prefix):
+        m = _EXPERT_RE.match(name)
+        if m:
+            li, ei, proj = int(m.group(1)), int(m.group(2)), m.group(3)
+            experts.setdefault(_EXPERT_KEY[proj], {})[(li, ei)] = arr.T
+            continue
+        m = _ROUTER_RE.match(name)
+        if m:
+            routers[int(m.group(1))] = arr.T  # [H, E]
+            continue
+        m = _LAYER_RE.match(name)
+        if m and m.group(2) in attn_keys:
+            key, transpose = attn_keys[m.group(2)]
+            per_layer.setdefault(key, {})[int(m.group(1))] = (
+                arr.T if transpose else arr)
+            continue
+        m = _LAYER_BIAS_RE.match(name)
+        if m and m.group(2) in _BIAS_MAP:
+            per_layer.setdefault(_BIAS_MAP[m.group(2)], {})[int(m.group(1))] = arr
+            continue
+        if name in ("model.embed_tokens.weight", "embed_tokens.weight"):
+            top["embed_tokens"] = arr
+        elif name in ("model.norm.weight", "norm.weight"):
+            top["norm"] = arr
+        elif name == "lm_head.weight":
+            top["lm_head"] = arr.T
+
+    layers: dict[str, Any] = {}
+    for key, by_layer in per_layer.items():
+        if len(by_layer) != num_layers:
+            raise ValueError(f"{key}: {len(by_layer)}/{num_layers} layers")
+        layers[key] = jnp.asarray(
+            np.stack([by_layer[i] for i in range(num_layers)]), dtype)
+    if len(routers) != num_layers:
+        raise ValueError(f"router: {len(routers)}/{num_layers} layers")
+    layers["router"] = jnp.asarray(
+        np.stack([routers[i] for i in range(num_layers)]), dtype)
+    for key, by_le in experts.items():
+        stacked = np.stack([
+            np.stack([by_le[(li, ei)] for ei in range(num_experts)])
+            for li in range(num_layers)
+        ])  # [L, E, in, out]
+        layers[key] = jnp.asarray(stacked, dtype)
+
+    params: dict[str, Any] = {
+        "embed_tokens": jnp.asarray(top["embed_tokens"], dtype),
+        "norm": jnp.asarray(top["norm"], dtype),
+        "layers": layers,
+    }
+    if not tie_embeddings and "lm_head" in top:
+        params["lm_head"] = jnp.asarray(top["lm_head"], dtype)
+    return params
+
+
 def save_params_as_safetensors(params: dict[str, Any], path: str, num_layers: int):
     """Inverse of load_qwen_decoder_weights — used by tests to synthesize
     HF-format checkpoints from random params."""

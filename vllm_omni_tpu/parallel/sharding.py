@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vllm_omni_tpu.config.parallel import AXIS_MODEL
+from vllm_omni_tpu.config.parallel import AXIS_EXPERT, AXIS_MODEL
 
 REPLICATED = P()
 
@@ -35,21 +35,22 @@ def qwen_param_specs(params: dict[str, Any], axis: str = AXIS_MODEL) -> dict[str
         "q_bias", "k_bias", "v_bias",
     }
     row = {"o_proj", "down_proj"}  # shard dim 1 (input dim of [L, in, out])
-    # MoE expert weights [L, E, in, out]
+    # MoE expert weights [L, E, in, out]: experts over the expert axis,
+    # expert hidden dim over the model axis (EP x TP)
     moe_col = {"experts_gate", "experts_up"}
     moe_row = {"experts_down"}
 
     def spec_for(path: str, arr) -> P:
         name = path.split("/")[-1]
         nd = arr.ndim
+        if name in moe_col:
+            return P(None, AXIS_EXPERT, None, axis)
+        if name in moe_row:
+            return P(None, AXIS_EXPERT, axis, None)
         if name in col:
             return P(*([None] * (nd - 1)), axis)
         if name in row:
             return P(*([None] * (nd - 2)), axis, None)
-        if name in moe_col:
-            return P(None, None, None, axis)
-        if name in moe_row:
-            return P(None, None, axis, None)
         if name == "lm_head":
             return P(None, axis)
         return REPLICATED

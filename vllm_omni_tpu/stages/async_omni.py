@@ -1,0 +1,151 @@
+"""Async orchestrator for online serving.
+
+Parity: AsyncOmni (reference entrypoints/async_omni.py:72-1237):
+per-request asyncio flow — `generate()` is an async generator yielding an
+OmniRequestOutput per final stage; a background output-handler routes
+stage results to per-request queues (reference :1059) and forwards
+intermediate results along the DAG; EngineClient-protocol surface
+(pause/resume, abort, stats).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import queue
+import threading
+from typing import Any, AsyncGenerator, Optional, Sequence, Union
+
+from vllm_omni_tpu.config.stage import StageConfig, get_final_stage_id_for_e2e
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.outputs import OmniRequestOutput
+from vllm_omni_tpu.sampling_params import SamplingParams
+from vllm_omni_tpu.stages.omni import Omni, _RequestState
+from vllm_omni_tpu.stages.omni_stage import StageOutput, StageTask
+from vllm_omni_tpu.utils import Counter
+
+logger = init_logger(__name__)
+
+
+class _ClientRequestState(_RequestState):
+    """Parity: ClientRequestState with a per-request result queue
+    (reference async_omni.py)."""
+
+    def __init__(self, request_id, prompt, num_stages, loop):
+        super().__init__(request_id, prompt, num_stages)
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self.loop = loop
+        self.sps: dict[int, Optional[SamplingParams]] = {}
+
+    def push(self, item) -> None:
+        self.loop.call_soon_threadsafe(self.queue.put_nowait, item)
+
+
+class AsyncOmni(Omni):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._active: dict[str, _ClientRequestState] = {}
+        self._lock = threading.Lock()
+        self._paused = threading.Event()
+        self._handler = threading.Thread(
+            target=self._run_output_handler, name="omni-output-handler",
+            daemon=True,
+        )
+        self._running = True
+        self._handler.start()
+
+    # ----------------------------------------------------- output handler
+    def _run_output_handler(self) -> None:
+        """Drain stage out-queues, forward along the DAG, route final
+        outputs to per-request queues (reference async_omni.py:1059)."""
+        while self._running:
+            try:
+                so: StageOutput = self.out_q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            with self._lock:
+                st = self._active.get(so.request_id)
+            if st is None:
+                continue
+            if so.metrics:
+                self.metrics.on_stage_metrics(so.metrics)
+            if so.error is not None:
+                st.error = so.error
+                st.push(RuntimeError(so.error))
+                continue
+            before = len(st.final_outputs)
+            self._handle_stage_output(st, so, st.sps, st.pending_final_all)
+            for out in st.final_outputs[before:]:
+                st.push(out)
+            if st.done:
+                st.push(None)  # completion sentinel
+                with self._lock:
+                    self._active.pop(st.request_id, None)
+
+    # --------------------------------------------------------------- API
+    async def generate(
+        self,
+        prompt: Any,
+        request_id: Optional[str] = None,
+        sampling_params: Union[
+            SamplingParams, Sequence[SamplingParams], dict, None
+        ] = None,
+        output_modality: Optional[str] = None,
+    ) -> AsyncGenerator[OmniRequestOutput, None]:
+        loop = asyncio.get_running_loop()
+        request_id = request_id or f"omni-{next(self._counter)}"
+        final_ids = set(self.final_stage_ids)
+        if output_modality is not None:
+            final_ids = {
+                get_final_stage_id_for_e2e(self.stage_configs, output_modality)
+            }
+        st = _ClientRequestState(request_id, prompt, len(self.stages), loop)
+        st.pending_final = set(final_ids)
+        st.pending_final_all = final_ids
+        st.sps = self._normalize_sampling(sampling_params, 1)[0]
+        with self._lock:
+            self._active[request_id] = st
+        self.metrics.on_request_start(request_id)
+        first_stage = self.stage_configs[0].stage_id
+        self.stages[first_stage].submit(
+            StageTask(request_id, prompt, st.sps.get(first_stage))
+        )
+        try:
+            while True:
+                item = await st.queue.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            self.metrics.on_request_finish(request_id, 0)
+            with self._lock:
+                self._active.pop(request_id, None)
+
+    async def abort(self, request_id: str) -> None:
+        with self._lock:
+            st = self._active.pop(request_id, None)
+        if st is not None:
+            st.push(None)
+
+    # EngineClient-protocol parity (reference async_omni.py:1105-1237)
+    async def pause_generation(self) -> None:
+        self._paused.set()
+
+    async def resume_generation(self) -> None:
+        self._paused.clear()
+
+    def is_tracing_enabled(self) -> bool:
+        return False
+
+    async def reset_prefix_cache(self) -> None:
+        pass
+
+    async def check_health(self) -> None:
+        for stage in self.stages.values():
+            if stage.init_error is not None:
+                raise RuntimeError(f"stage {stage.stage_id} unhealthy")
+
+    def shutdown(self) -> None:
+        self._running = False
+        super().shutdown()

@@ -1,0 +1,241 @@
+"""Sync multi-stage orchestrator.
+
+Parity: Omni (reference entrypoints/omni.py:59-572): loads stage configs,
+builds stages, seeds stage 0, forwards results along the DAG via
+connectors/input processors, collects final_output stages, with
+modality-based early exit (entrypoints/utils.py:191) and orchestrator
+metrics (log_utils.py:366).
+"""
+
+from __future__ import annotations
+
+import queue
+import time
+from typing import Any, Callable, Optional, Sequence, Union
+
+from vllm_omni_tpu.config.stage import (
+    StageConfig,
+    get_final_stage_id_for_e2e,
+    load_stage_configs_from_model,
+    load_stage_configs_from_yaml,
+)
+from vllm_omni_tpu.connectors import build_connectors_for_edges
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.outputs import OmniRequestOutput, RequestOutput
+from vllm_omni_tpu.sampling_params import SamplingParams
+from vllm_omni_tpu.stages.omni_stage import OmniStage, StageOutput, StageTask
+from vllm_omni_tpu.utils import Counter
+from vllm_omni_tpu.utils.metrics import OrchestratorMetrics
+
+logger = init_logger(__name__)
+
+
+class _RequestState:
+    def __init__(self, request_id: str, prompt: Any, num_stages: int):
+        self.request_id = request_id
+        self.prompt = prompt
+        self.stage_outputs: dict[int, Any] = {}
+        self.final_outputs: list[OmniRequestOutput] = []
+        self.pending_final: set[int] = set()
+        self.error: Optional[str] = None
+
+    @property
+    def done(self) -> bool:
+        return self.error is not None or not self.pending_final
+
+
+class Omni:
+    def __init__(
+        self,
+        model: str = "",
+        stage_configs_path: Optional[str] = None,
+        stage_configs: Optional[list[StageConfig]] = None,
+        engine_factory: Optional[Callable] = None,
+        log_stats: bool = False,
+        init_timeout: float = 600.0,
+    ):
+        if stage_configs is None:
+            if stage_configs_path:
+                stage_configs = load_stage_configs_from_yaml(
+                    stage_configs_path, model=model)
+            else:
+                stage_configs = load_stage_configs_from_model(model)
+        self.stage_configs = stage_configs
+        self.out_q: "queue.Queue[StageOutput]" = queue.Queue()
+        self.stages: dict[int, OmniStage] = {
+            cfg.stage_id: OmniStage(cfg, self.out_q, engine_factory)
+            for cfg in stage_configs
+        }
+        # downstream adjacency: src stage -> [consumer stage ids]
+        self.consumers: dict[int, list[int]] = {}
+        for cfg in stage_configs:
+            for src in cfg.engine_input_source:
+                self.consumers.setdefault(src, []).append(cfg.stage_id)
+        self.final_stage_ids = [
+            c.stage_id for c in stage_configs if c.final_output
+        ]
+        self.connectors = build_connectors_for_edges(
+            {
+                k: v
+                for cfg in stage_configs
+                for k, v in (cfg.runtime.connectors or {}).items()
+            }
+        )
+        self.metrics = OrchestratorMetrics(
+            num_stages=len(stage_configs), log_stats=log_stats)
+        self._counter = Counter()
+        # bring-up (threaded engines; parity with _start_stages +
+        # _wait_for_stages_ready, reference omni.py:191-271)
+        for stage in self.stages.values():
+            stage.init_stage_worker()
+        for stage in self.stages.values():
+            stage.wait_ready(init_timeout)
+        logger.info("Omni ready with %d stages", len(self.stages))
+
+    # --------------------------------------------------------------- API
+    def generate(
+        self,
+        prompts: Union[Any, Sequence[Any]],
+        sampling_params_list: Optional[Sequence[Any]] = None,
+        output_modality: Optional[str] = None,
+        timeout: float = 3600.0,
+    ) -> list[OmniRequestOutput]:
+        """Run requests through the stage DAG; returns one OmniRequestOutput
+        per (request, final stage), grouped by request order."""
+        single = not isinstance(prompts, (list, tuple))
+        prompt_list = [prompts] if single else list(prompts)
+        n = len(prompt_list)
+        sp_list = self._normalize_sampling(sampling_params_list, n)
+
+        final_ids = set(self.final_stage_ids)
+        if output_modality is not None:
+            cut = get_final_stage_id_for_e2e(self.stage_configs, output_modality)
+            final_ids = {cut}
+
+        states: dict[str, _RequestState] = {}
+        req_sps: dict[str, dict[int, Optional[SamplingParams]]] = {}
+        order: list[str] = []
+        for prompt, sps in zip(prompt_list, sp_list):
+            rid = f"omni-{next(self._counter)}"
+            order.append(rid)
+            st = _RequestState(rid, prompt, len(self.stages))
+            st.pending_final = set(final_ids)
+            states[rid] = st
+            req_sps[rid] = sps
+            self.metrics.on_request_start(rid)
+            first_stage = self.stage_configs[0].stage_id
+            self.stages[first_stage].submit(
+                StageTask(rid, prompt, sps.get(first_stage))
+            )
+
+        deadline = time.monotonic() + timeout
+        remaining = set(states)
+        while remaining:
+            try:
+                so = self.out_q.get(timeout=max(0.01, deadline - time.monotonic()))
+            except queue.Empty:
+                raise TimeoutError(
+                    f"requests not finished: {sorted(remaining)}") from None
+            st = states.get(so.request_id)
+            if st is None:
+                continue
+            if so.metrics:
+                self.metrics.on_stage_metrics(so.metrics)
+            if so.error is not None:
+                st.error = so.error
+                remaining.discard(st.request_id)
+                continue
+            self._handle_stage_output(st, so, req_sps[st.request_id], final_ids)
+            if st.done:
+                self.metrics.on_request_finish(
+                    st.request_id,
+                    sum(
+                        o.request_output.num_generated_tokens
+                        for o in st.final_outputs
+                        if o.request_output is not None
+                    ),
+                )
+                remaining.discard(st.request_id)
+
+        results: list[OmniRequestOutput] = []
+        for rid in order:
+            st = states[rid]
+            if st.error is not None:
+                results.append(OmniRequestOutput(request_id=rid, error=st.error))
+            else:
+                results.extend(st.final_outputs)
+        return results
+
+    def _handle_stage_output(
+        self,
+        st: _RequestState,
+        so: StageOutput,
+        sps: dict[int, Optional[SamplingParams]],
+        final_ids: set[int],
+    ) -> None:
+        sid = so.stage_id
+        st.stage_outputs[sid] = so.output
+        cfg = self.stages[sid].config
+        if sid in final_ids:
+            out = so.output
+            if isinstance(out, OmniRequestOutput):
+                out.stage_id = sid
+                st.final_outputs.append(out)
+            else:
+                st.final_outputs.append(
+                    OmniRequestOutput.from_stage(
+                        st.request_id, sid, cfg.final_output_type, out
+                    )
+                )
+            st.pending_final.discard(sid)
+            if not st.pending_final:
+                return
+        # forward to consumers whose inputs are all available
+        for nxt_id in self.consumers.get(sid, []):
+            nxt = self.stages[nxt_id]
+            needed = nxt.config.engine_input_source
+            if not all(s in st.stage_outputs for s in needed):
+                continue
+            upstream = {s: st.stage_outputs[s] for s in needed}
+            next_input = nxt.process_engine_inputs(upstream, st.prompt)
+            nxt.submit(StageTask(st.request_id, next_input, sps.get(nxt_id)))
+
+    def _normalize_sampling(
+        self, sampling_params_list, n: int
+    ) -> list[dict[int, Optional[SamplingParams]]]:
+        """Each request gets {stage_id: SamplingParams|None}."""
+        stage_ids = [c.stage_id for c in self.stage_configs]
+
+        def norm_one(sp) -> dict[int, Optional[SamplingParams]]:
+            if sp is None:
+                return {}
+            if isinstance(sp, SamplingParams):
+                return {stage_ids[0]: sp}
+            if isinstance(sp, dict):
+                return dict(sp)
+            if isinstance(sp, (list, tuple)):
+                return {sid: p for sid, p in zip(stage_ids, sp)}
+            raise TypeError(type(sp))
+
+        if sampling_params_list is None:
+            return [{} for _ in range(n)]
+        if isinstance(sampling_params_list, (SamplingParams, dict)):
+            return [norm_one(sampling_params_list) for _ in range(n)]
+        if len(sampling_params_list) != n:
+            # one spec per stage, shared across requests
+            return [norm_one(list(sampling_params_list)) for _ in range(n)]
+        return [norm_one(sp) for sp in sampling_params_list]
+
+    def get_stats(self) -> dict[str, Any]:
+        return self.metrics.summary()
+
+    def shutdown(self) -> None:
+        for stage in self.stages.values():
+            stage.shutdown()
+        self.metrics.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()

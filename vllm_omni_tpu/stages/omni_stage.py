@@ -1,0 +1,244 @@
+"""Per-stage lifecycle + worker.
+
+Parity: OmniStage (reference entrypoints/omni_stage.py:78-1273): holds the
+stage config (stage_type, engine_args, runtime, engine_input_source,
+custom_process_input_func, final_output(_type), default_sampling_params),
+runs a worker with batch assembly (max_batch_size/batch_timeout), submits/
+collects tasks, and derives next-stage inputs from upstream outputs.
+
+TPU design delta: stages are threads inside ONE controller process, not
+spawned processes — jitted engine steps release the GIL during device
+execution so stage overlap is real, and stage→stage payloads can stay on
+device (SURVEY.md §7 design stance).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import traceback
+from typing import Any, Callable, Optional
+
+from vllm_omni_tpu.config.stage import StageConfig
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.sampling_params import SamplingParams
+from vllm_omni_tpu.utils.metrics import StageRequestMetrics
+
+logger = init_logger(__name__)
+
+STOP = object()  # queue sentinel
+
+
+def prepare_sampling_params(
+    defaults: dict[str, Any], override: Optional[SamplingParams]
+) -> SamplingParams:
+    """Stage defaults merged with per-request overrides.
+
+    Parity: prepare_sampling_params (reference omni_stage.py:49)."""
+    base = SamplingParams.from_dict(defaults or {})
+    if override is None:
+        return base
+    return override  # explicit per-stage params win wholesale
+
+
+class StageTask:
+    __slots__ = (
+        "request_id", "prompt", "sampling_params", "diffusion_kwargs",
+        "submitted_ts",
+    )
+
+    def __init__(self, request_id, prompt, sampling_params=None,
+                 diffusion_kwargs=None):
+        self.request_id = request_id
+        self.prompt = prompt
+        self.sampling_params = sampling_params
+        self.diffusion_kwargs = diffusion_kwargs or {}
+        self.submitted_ts = time.monotonic()
+
+
+class StageOutput:
+    __slots__ = ("request_id", "stage_id", "output", "metrics", "error")
+
+    def __init__(self, request_id, stage_id, output=None, metrics=None,
+                 error=None):
+        self.request_id = request_id
+        self.stage_id = stage_id
+        self.output = output
+        self.metrics = metrics
+        self.error = error
+
+
+class OmniStage:
+    def __init__(
+        self,
+        config: StageConfig,
+        out_q: "queue.Queue[StageOutput]",
+        engine_factory: Optional[Callable[[StageConfig], Any]] = None,
+    ):
+        self.config = config
+        self.stage_id = config.stage_id
+        self.out_q = out_q
+        self.in_q: "queue.Queue" = queue.Queue()
+        self.engine = None
+        self.engine_factory = engine_factory
+        self.input_processor = config.resolve_input_processor()
+        self.ready = threading.Event()
+        self.init_error: Optional[BaseException] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------- setup
+    def init_stage_worker(self) -> None:
+        """Start the stage worker thread (engine built inside it).
+
+        Parity: init_stage_worker spawning _stage_worker
+        (reference omni_stage.py:196-300)."""
+        self._thread = threading.Thread(
+            target=self._stage_worker, name=f"stage-{self.stage_id}",
+            daemon=True,
+        )
+        self._thread.start()
+
+    def _build_engine(self):
+        if self.engine_factory is not None:
+            return self.engine_factory(self.config)
+        if self.config.stage_type == "diffusion":
+            from vllm_omni_tpu.config.diffusion import OmniDiffusionConfig
+            from vllm_omni_tpu.diffusion.engine import DiffusionEngine
+
+            od = OmniDiffusionConfig(
+                model=self.config.engine_args.model,
+                dtype=self.config.engine_args.dtype,
+                **self.config.diffusion_args,
+            )
+            return DiffusionEngine(od)
+        from vllm_omni_tpu.engine.llm import LLM
+
+        return LLM(engine_args=self.config.engine_args)
+
+    # ------------------------------------------------------------ worker
+    def _stage_worker(self) -> None:
+        try:
+            self.engine = self._build_engine()
+        except BaseException as e:  # surfaced by wait_ready
+            self.init_error = e
+            self.ready.set()
+            return
+        self.ready.set()
+        max_batch = max(1, self.config.runtime.max_batch_size)
+        timeout = self.config.runtime.batch_timeout
+        while True:
+            task = self.in_q.get()
+            if task is STOP:
+                return
+            batch = [task]
+            # batch assembly (reference omni_stage.py:605-640)
+            deadline = time.monotonic() + timeout
+            while len(batch) < max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.in_q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is STOP:
+                    self.in_q.put(STOP)
+                    break
+                batch.append(nxt)
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: list[StageTask]) -> None:
+        t0 = time.monotonic()
+        try:
+            if self.config.stage_type == "diffusion":
+                outputs = self._run_diffusion_batch(batch)
+            else:
+                outputs = self._run_llm_batch(batch)
+            gen_time = time.monotonic() - t0
+            for task, out in zip(batch, outputs):
+                m = StageRequestMetrics(
+                    request_id=task.request_id,
+                    stage_id=self.stage_id,
+                    arrival_ts=task.submitted_ts,
+                    finished_ts=time.monotonic(),
+                    gen_time_s=gen_time / max(len(batch), 1),
+                    num_output_tokens=getattr(out, "num_generated_tokens", 0)
+                    if hasattr(out, "num_generated_tokens") else 0,
+                )
+                self.out_q.put(StageOutput(
+                    request_id=task.request_id, stage_id=self.stage_id,
+                    output=out, metrics=m,
+                ))
+        except BaseException as e:
+            # per-request error surface (reference omni_stage.py:822-833)
+            tb = traceback.format_exc()
+            logger.error("stage %d batch failed: %s\n%s", self.stage_id, e, tb)
+            for task in batch:
+                self.out_q.put(StageOutput(
+                    request_id=task.request_id, stage_id=self.stage_id,
+                    error=f"{e}\n{tb}",
+                ))
+
+    def _run_llm_batch(self, batch: list[StageTask]):
+        sp_list = [
+            prepare_sampling_params(
+                self.config.default_sampling_params, t.sampling_params
+            )
+            for t in batch
+        ]
+        return self.engine.generate([t.prompt for t in batch], sp_list)
+
+    def _run_diffusion_batch(self, batch: list[StageTask]):
+        from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
+
+        reqs = []
+        for t in batch:
+            kwargs = dict(self.config.diffusion_args)
+            kwargs.update(t.diffusion_kwargs)
+            prompt = t.prompt if isinstance(t.prompt, str) else ""
+            if isinstance(t.prompt, dict):
+                kwargs.update(t.prompt)
+                prompt = kwargs.pop("prompt", "")
+            reqs.append(OmniDiffusionRequest(
+                request_id=t.request_id, prompt=prompt, **kwargs))
+        return self.engine.step(reqs)
+
+    # --------------------------------------------------------------- API
+    def submit(self, task: StageTask) -> None:
+        self.in_q.put(task)
+
+    def wait_ready(self, timeout: float = 300.0) -> None:
+        if not self.ready.wait(timeout):
+            raise TimeoutError(
+                f"stage {self.stage_id} not ready after {timeout}s"
+            )
+        if self.init_error is not None:
+            raise RuntimeError(
+                f"stage {self.stage_id} failed to initialize"
+            ) from self.init_error
+
+    def shutdown(self) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            self.in_q.put(STOP)
+            self._thread.join(timeout=10)
+
+    def process_engine_inputs(
+        self,
+        upstream_outputs: dict[int, Any],
+        original_prompt: Any,
+    ) -> Any:
+        """Derive this stage's input from upstream stage outputs.
+
+        Parity: process_engine_inputs + custom_process_input_func
+        (reference omni_stage.py:352-400)."""
+        if self.input_processor is not None:
+            return self.input_processor(
+                self.config, upstream_outputs, original_prompt
+            )
+        # default edge: pass the (single) upstream's generated tokens on
+        src = self.config.engine_input_source[0]
+        out = upstream_outputs[src]
+        if hasattr(out, "outputs"):  # RequestOutput
+            return {"prompt_token_ids": list(out.outputs[0].token_ids)}
+        return out
