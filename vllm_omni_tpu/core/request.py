@@ -52,6 +52,11 @@ class Request:
     additional_information: dict[str, Any] = field(default_factory=dict)
     arrival_time: float = field(default_factory=time.monotonic)
 
+    # Multimodal rotary positions [3, prompt_len] + decode-time delta
+    # (reference mrope.py:415-587); None -> plain 1D positions.
+    mrope_positions: Optional[Any] = None
+    mrope_delta: int = 0
+
     status: RequestStatus = RequestStatus.WAITING
     output_token_ids: list[int] = field(default_factory=list)
     num_computed_tokens: int = 0  # prompt+output tokens with KV in cache

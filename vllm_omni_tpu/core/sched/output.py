@@ -54,6 +54,8 @@ class BatchDescriptor:
     # --- optional prompt-embeds overlay, shape [T_pad, H] + mask [T_pad] ---
     prompt_embeds: Optional[np.ndarray] = None
     use_embeds: Optional[np.ndarray] = None
+    # --- optional M-RoPE position streams [3, T_pad] ---
+    mrope_positions: Optional[np.ndarray] = None
 
     @property
     def padded_num_tokens(self) -> int:

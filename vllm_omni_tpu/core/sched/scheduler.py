@@ -35,7 +35,9 @@ class Scheduler:
         cache_config: CacheConfig,
         num_kv_blocks: int,
         hidden_size_for_embeds: Optional[int] = None,
+        use_mrope: bool = False,
     ) -> None:
+        self.use_mrope = use_mrope
         self.config = scheduler_config
         self.block_size = cache_config.block_size
         self.kv = KVCacheManager(num_kv_blocks, cache_config.block_size)
@@ -267,6 +269,7 @@ class Scheduler:
 
         embeds = None
         use_embeds = None
+        mrope = np.zeros((3, T), np.int32) if self.use_mrope else None
 
         t = 0
         sched_ids: list[str] = []
@@ -285,6 +288,12 @@ class Scheduler:
                 positions[t + i] = pos
                 token_rows[t + i] = row
                 is_prompt[t + i] = pos < req.num_prompt_tokens
+                if mrope is not None:
+                    if (req.mrope_positions is not None
+                            and pos < req.num_prompt_tokens):
+                        mrope[:, t + i] = req.mrope_positions[:, pos]
+                    else:
+                        mrope[:, t + i] = pos + req.mrope_delta
             # prompt-embeds overlay for this chunk
             if req.prompt_embeds is not None:
                 if embeds is None:
@@ -371,6 +380,7 @@ class Scheduler:
             num_reqs=len(scheduled),
             prompt_embeds=embeds,
             use_embeds=use_embeds,
+            mrope_positions=mrope,
         )
         return SchedulerOutput(
             descriptor=desc,

@@ -58,6 +58,8 @@ class EngineCore:
             config.scheduler_config,
             config.cache_config,
             num_kv_blocks=self.runner.num_blocks,
+            use_mrope=getattr(self.runner.model, "mrope_section", None)
+            is not None,
         )
         mc = config.model_config
         self.eos_token_id = mc.get("eos_token_id")

@@ -122,12 +122,32 @@ class LLM:
         else:
             raise TypeError(type(parsed))
 
+        mrope_positions = None
+        mrope_delta = 0
+        mm_data = getattr(parsed, "multi_modal_data", None)
+        if mm_data:
+            model = self.core.runner.model
+            if not hasattr(model, "process_multimodal"):
+                raise ValueError(
+                    f"model {type(model).__name__} does not accept "
+                    "multi_modal_data"
+                )
+            mm = model.process_multimodal(
+                self.core.runner.params, token_ids, mm_data,
+                getattr(parsed, "mm_processor_kwargs", None),
+            )
+            prompt_embeds = mm["prompt_embeds"]
+            mrope_positions = mm["mrope_positions"]
+            mrope_delta = mm["mrope_delta"]
+
         req = Request(
             request_id=request_id,
             prompt_token_ids=token_ids,
             prompt=prompt_text,
             prompt_embeds=prompt_embeds,
             additional_information=additional_information,
+            mrope_positions=mrope_positions,
+            mrope_delta=mrope_delta,
             sampling_params=sampling_params.clone(),
         )
         detok = IncrementalDetokenizer(

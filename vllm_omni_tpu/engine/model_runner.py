@@ -129,7 +129,9 @@ class ModelRunner:
         return min(n, cap)
 
     # ------------------------------------------------------------- step
-    def _build_step_fn(self, has_embeds: bool, donate: bool = True) -> Callable:
+    def _build_step_fn(
+        self, has_embeds: bool, has_mrope: bool = False, donate: bool = True
+    ) -> Callable:
         import inspect
 
         model = self.model
@@ -157,6 +159,7 @@ class ModelRunner:
                 positions=d["positions"],
                 token_rows=d["token_rows"],
                 slot_mapping=d["slot_mapping"],
+                rope_positions=d.get("mrope_positions"),
             )
             hidden, kv_cache = model.forward(
                 params, embeds, kv_cache, meta,
@@ -212,6 +215,8 @@ class ModelRunner:
         if has_embeds:
             d_spec["prompt_embeds"] = rep
             d_spec["use_embeds"] = rep
+        if has_mrope:
+            d_spec["mrope_positions"] = rep
         aux_spec = {"last_hidden": rep}
         aux_spec.update(getattr(self.model, "aux_out_specs", {}))
         sharded = jax.shard_map(
@@ -255,15 +260,20 @@ class ModelRunner:
         if desc.prompt_embeds is not None:
             d["prompt_embeds"] = desc.prompt_embeds
             d["use_embeds"] = desc.use_embeds
+        if desc.mrope_positions is not None:
+            d["mrope_positions"] = desc.mrope_positions
         return d
 
     def execute(self, desc: BatchDescriptor) -> tuple[np.ndarray, dict[str, Any]]:
         """Run one step; returns (sampled tokens [S] on host, aux device arrays)."""
         d = self.desc_to_device_dict(desc)
         has_embeds = "prompt_embeds" in d
-        step_fn = self._step_fns.get(has_embeds)
+        has_mrope = "mrope_positions" in d
+        key = (has_embeds, has_mrope)
+        step_fn = self._step_fns.get(key)
         if step_fn is None:
-            step_fn = self._step_fns[has_embeds] = self._build_step_fn(has_embeds)
+            step_fn = self._step_fns[key] = self._build_step_fn(
+                has_embeds, has_mrope)
         sampled, self.kv_cache, self.sampling_state, aux = step_fn(
             self.params, self.kv_cache, self.sampling_state, d
         )

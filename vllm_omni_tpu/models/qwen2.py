@@ -151,15 +151,16 @@ class Qwen2ForCausalLM:
             if self.qk_norm:
                 q = rms_norm(q, p["q_norm"], self.eps)
                 k = rms_norm(k, p["k_norm"], self.eps)
+            rp = meta.rope_pos
             q, k = apply_rope(
-                q, k, meta.positions, cos, sin, mrope_section=self.mrope_section
+                q, k, rp, cos, sin,
+                mrope_section=self.mrope_section if rp.ndim > 1 else None,
             )
             k_c, v_c = write_kv(k_c, v_c, k, v, meta.slot_mapping)
             attn = ragged_paged_attention(
                 q, k_c, v_c,
                 meta.q_starts, meta.q_lens, meta.seq_lens, meta.block_tables,
-                meta.positions if meta.positions.ndim == 1 else meta.positions[0],
-                meta.token_rows,
+                meta.positions, meta.token_rows,
                 scale=self.scale,
                 sliding_window=self.sliding_window,
                 backend=attention_backend,

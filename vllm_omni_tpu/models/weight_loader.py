@@ -74,9 +74,23 @@ def load_qwen_decoder_weights(
     prefix: str = "",
 ) -> dict[str, Any]:
     """Assemble a scanned Qwen2/Qwen3 param pytree from HF safetensors."""
+    return decoder_params_from_tensors(
+        iter_safetensors(path, prefix=prefix),
+        num_layers=num_layers, dtype=dtype, tie_embeddings=tie_embeddings,
+        source=path,
+    )
+
+
+def decoder_params_from_tensors(
+    tensors,
+    num_layers: int,
+    dtype,
+    tie_embeddings: bool = False,
+    source: str = "<tensors>",
+) -> dict[str, Any]:
     per_layer: dict[str, dict[int, np.ndarray]] = {}
     top: dict[str, np.ndarray] = {}
-    for name, arr in iter_safetensors(path, prefix=prefix):
+    for name, arr in tensors:
         m = _LAYER_RE.match(name)
         if m:
             li, sub = int(m.group(1)), m.group(2)
@@ -116,7 +130,7 @@ def load_qwen_decoder_weights(
             params["lm_head"] = jnp.asarray(top["lm_head"], dtype)
     logger.info(
         "loaded %d decoder layers from %s (%d top-level tensors)",
-        num_layers, path, len(top),
+        num_layers, source, len(top),
     )
     return params
 
