@@ -1,0 +1,176 @@
+"""OpenAI-compatible HTTP server (aiohttp).
+
+Parity: the reference's FastAPI app surface (reference entrypoints/openai/
+api_server.py:64-681): /v1/chat/completions, /v1/audio/speech,
+/v1/images/generations, /v1/models, /health; pure-diffusion mode detection
+(:253-295) — built on aiohttp because fastapi/uvicorn are not in this
+image.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import uuid
+from typing import Any, Optional
+
+from aiohttp import web
+from pydantic import ValidationError
+
+from vllm_omni_tpu.entrypoints.audio_utils import (
+    waveform_to_pcm_bytes,
+    waveform_to_wav_bytes,
+)
+from vllm_omni_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest,
+    CreateSpeechRequest,
+    ErrorResponse,
+    ImageData,
+    ImageGenerationRequest,
+    ImageGenerationResponse,
+    ModelCard,
+    ModelList,
+)
+from vllm_omni_tpu.entrypoints.openai.serving_chat import OmniOpenAIServingChat
+from vllm_omni_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+def _json_error(message: str, status: int = 400) -> web.Response:
+    return web.json_response(
+        ErrorResponse.make(message, code=status).model_dump(), status=status
+    )
+
+
+def build_app(
+    engine_client: Any = None,
+    diffusion_engine: Any = None,
+    model_name: str = "omni",
+    tokenizer: Any = None,
+) -> web.Application:
+    """engine_client: AsyncOmni-like (chat/speech); diffusion_engine:
+    OmniDiffusion-like (image generations). Pure-diffusion deployments pass
+    only diffusion_engine (reference api_server.py:253-295)."""
+    app = web.Application(client_max_size=256 * 1024 * 1024)
+    serving_chat = (
+        OmniOpenAIServingChat(engine_client, model_name, tokenizer)
+        if engine_client is not None else None
+    )
+
+    async def health(request: web.Request) -> web.Response:
+        if engine_client is not None and hasattr(engine_client, "check_health"):
+            try:
+                await engine_client.check_health()
+            except Exception as e:
+                return _json_error(f"unhealthy: {e}", 500)
+        return web.json_response({"status": "ok"})
+
+    async def models(request: web.Request) -> web.Response:
+        return web.json_response(
+            ModelList(data=[ModelCard(id=model_name)]).model_dump()
+        )
+
+    async def chat_completions(request: web.Request) -> web.Response:
+        if serving_chat is None:
+            return _json_error(
+                "this deployment serves only /v1/images/generations", 400)
+        try:
+            req = ChatCompletionRequest(**await request.json())
+        except (ValidationError, ValueError) as e:
+            return _json_error(str(e))
+        try:
+            resp = await serving_chat.create_chat_completion(req)
+        except ValueError as e:
+            return _json_error(str(e))
+        except Exception as e:  # pragma: no cover
+            logger.exception("chat completion failed")
+            return _json_error(str(e), 500)
+        return web.json_response(resp.model_dump())
+
+    async def audio_speech(request: web.Request) -> web.Response:
+        # parity: /v1/audio/speech text -> full pipeline -> WAV/PCM
+        # (reference serving_speech.py:16-120; no streaming :29-31)
+        if engine_client is None:
+            return _json_error("no omni engine configured", 400)
+        try:
+            req = CreateSpeechRequest(**await request.json())
+        except (ValidationError, ValueError) as e:
+            return _json_error(str(e))
+        waveform = None
+        async for out in engine_client.generate(
+            {"prompt": req.input}, request_id=f"speech-{uuid.uuid4().hex[:16]}",
+            output_modality="audio",
+        ):
+            ro = out.request_output
+            if ro is not None and ro.outputs[0].multimodal_output:
+                mm = ro.outputs[0].multimodal_output
+                waveform = mm.get("waveform")
+                if waveform is None:
+                    waveform = mm.get("audio")
+        if waveform is None:
+            return _json_error("pipeline produced no audio", 500)
+        import numpy as np
+
+        wav = np.asarray(waveform)
+        if req.response_format == "pcm":
+            body = waveform_to_pcm_bytes(wav)
+            ctype = "audio/pcm"
+        else:
+            body = waveform_to_wav_bytes(wav, req.sample_rate, req.speed)
+            ctype = "audio/wav"
+        return web.Response(body=body, content_type=ctype)
+
+    async def image_generations(request: web.Request) -> web.Response:
+        # parity: /v1/images/generations (reference api_server.py:534-681)
+        if diffusion_engine is None:
+            return _json_error("no diffusion engine configured", 400)
+        try:
+            req = ImageGenerationRequest(**await request.json())
+        except (ValidationError, ValueError) as e:
+            return _json_error(str(e))
+        w, h = req.width_height
+        kwargs: dict[str, Any] = {"height": h, "width": w}
+        if req.num_inference_steps is not None:
+            kwargs["num_inference_steps"] = req.num_inference_steps
+        if req.true_cfg_scale is not None:
+            kwargs["true_cfg_scale"] = req.true_cfg_scale
+        if req.guidance_scale is not None:
+            kwargs["guidance_scale"] = req.guidance_scale
+        if req.seed is not None:
+            kwargs["seed"] = req.seed
+        if req.negative_prompt:
+            kwargs["negative_prompt"] = req.negative_prompt
+        import asyncio
+
+        outs = await asyncio.get_running_loop().run_in_executor(
+            None, lambda: diffusion_engine.generate(
+                [req.prompt] * req.n, **kwargs)
+        )
+        data = []
+        for o in outs:
+            if o.error:
+                return _json_error(o.error, 500)
+            for img in o.images or []:
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                data.append(ImageData(
+                    b64_json=base64.b64encode(buf.getvalue()).decode("ascii")))
+        return web.json_response(ImageGenerationResponse(data=data).model_dump())
+
+    app.router.add_get("/health", health)
+    app.router.add_get("/v1/models", models)
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/v1/audio/speech", audio_speech)
+    app.router.add_post("/v1/images/generations", image_generations)
+    return app
+
+
+def run_server(
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    **build_kwargs,
+) -> None:
+    app = build_app(**build_kwargs)
+    logger.info("serving on %s:%d", host, port)
+    web.run_app(app, host=host, port=port, print=None)

@@ -1,0 +1,219 @@
+"""Chat completions over the multi-stage pipeline.
+
+Parity: OmniOpenAIServingChat (reference entrypoints/openai/
+serving_chat.py:84-1291): builds per-stage sampling params from request
+overrides, runs AsyncOmni.generate, assembles the text choice plus an
+audio choice (base64 WAV in message.audio) and/or image choice from the
+final-stage outputs. Chat content parts cover text / image (base64 or
+local path) / input_audio, mirroring the reference's multimodal content
+parser (chat_utils.py:42-127) minus URL downloads (no egress here).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import uuid
+from typing import Any, Optional
+
+import numpy as np
+
+from vllm_omni_tpu.entrypoints.audio_utils import waveform_to_base64_wav
+from vllm_omni_tpu.entrypoints.openai.protocol import (
+    ChatCompletionChoice,
+    ChatCompletionRequest,
+    ChatCompletionResponse,
+    UsageInfo,
+)
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.sampling_params import SamplingParams
+
+logger = init_logger(__name__)
+
+
+def parse_chat_content(
+    messages: list,
+) -> tuple[list[dict[str, str]], dict[str, list]]:
+    """-> (text_messages, multi_modal_data {audio: [...], image: [...]})."""
+    mm: dict[str, list] = {}
+    out_msgs: list[dict[str, str]] = []
+    for m in messages:
+        content = m.content
+        if content is None or isinstance(content, str):
+            out_msgs.append({"role": m.role, "content": content or ""})
+            continue
+        text_parts: list[str] = []
+        for part in content:
+            ptype = part.get("type")
+            if ptype == "text":
+                text_parts.append(part.get("text", ""))
+            elif ptype in ("image_url", "image"):
+                url = (part.get("image_url") or {}).get("url", part.get("image"))
+                img = _load_image(url)
+                mm.setdefault("image", []).append(img)
+                text_parts.append("<|vision_bos|><|IMAGE|><|vision_eos|>")
+            elif ptype == "input_audio":
+                data = part.get("input_audio", {})
+                wav = _decode_audio_b64(data.get("data", ""))
+                mm.setdefault("audio", []).append(wav)
+                text_parts.append("<|audio_bos|><|AUDIO|><|audio_eos|>")
+            elif ptype in ("audio_url",):
+                url = (part.get("audio_url") or {}).get("url", "")
+                wav = _load_audio(url)
+                mm.setdefault("audio", []).append(wav)
+                text_parts.append("<|audio_bos|><|AUDIO|><|audio_eos|>")
+            elif ptype == "video_url":
+                raise ValueError(
+                    "video_url requires download support; pass frames via "
+                    "'video' parts instead")
+        out_msgs.append({"role": m.role, "content": "".join(text_parts)})
+    return out_msgs, mm
+
+
+def _decode_audio_b64(data: str) -> np.ndarray:
+    raw = base64.b64decode(data)
+    # try WAV container first
+    try:
+        import wave
+
+        with wave.open(io.BytesIO(raw)) as w:
+            frames = w.readframes(w.getnframes())
+            arr = np.frombuffer(frames, "<i2").astype(np.float32) / 32767.0
+            return arr
+    except Exception:
+        return np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+
+
+def _load_audio(url: str) -> np.ndarray:
+    if url.startswith("data:"):
+        return _decode_audio_b64(url.split(",", 1)[1])
+    if url.startswith("file://"):
+        url = url[len("file://"):]
+    import wave
+
+    with wave.open(url) as w:
+        frames = w.readframes(w.getnframes())
+        return np.frombuffer(frames, "<i2").astype(np.float32) / 32767.0
+
+
+def _load_image(url: str):
+    from PIL import Image
+
+    if url and url.startswith("data:"):
+        raw = base64.b64decode(url.split(",", 1)[1])
+        return Image.open(io.BytesIO(raw)).convert("RGB")
+    if url and url.startswith("file://"):
+        url = url[len("file://"):]
+    return Image.open(url).convert("RGB")
+
+
+class OmniOpenAIServingChat:
+    def __init__(self, engine_client, model_name: str = "omni",
+                 tokenizer=None):
+        self.engine = engine_client
+        self.model_name = model_name
+        self.tokenizer = tokenizer
+
+    def _build_sampling(
+        self, request: ChatCompletionRequest
+    ) -> dict[int, SamplingParams]:
+        """Per-stage sampling overrides from the request.
+
+        Parity: _build_sampling_params_list_from_request
+        (reference serving_chat.py:459)."""
+        base_overrides: dict[str, Any] = {}
+        if request.temperature is not None:
+            base_overrides["temperature"] = request.temperature
+        if request.top_p is not None:
+            base_overrides["top_p"] = request.top_p
+        if request.top_k is not None:
+            base_overrides["top_k"] = request.top_k
+        if request.seed is not None:
+            base_overrides["seed"] = request.seed
+        mt = request.max_completion_tokens or request.max_tokens
+        if mt is not None:
+            base_overrides["max_tokens"] = mt
+        if request.stop is not None:
+            base_overrides["stop"] = request.stop
+        for k in ("presence_penalty", "frequency_penalty", "repetition_penalty"):
+            v = getattr(request, k)
+            if v is not None:
+                base_overrides[k] = v
+
+        out: dict[int, SamplingParams] = {}
+        if base_overrides:
+            out[0] = SamplingParams.from_dict(base_overrides)
+        for sid, over in (request.stage_sampling_params or {}).items():
+            out[int(sid)] = SamplingParams.from_dict(over)
+        return out
+
+    def _render_prompt(self, messages: list[dict[str, str]]):
+        if self.tokenizer is not None:
+            ids = self.tokenizer.apply_chat_template(
+                messages, add_generation_prompt=True)
+            return {"prompt_token_ids": ids}
+        # no tokenizer: plain text prompt (engines may still accept it)
+        text = "\n".join(f"{m['role']}: {m['content']}" for m in messages)
+        return {"prompt": text}
+
+    async def create_chat_completion(
+        self, request: ChatCompletionRequest
+    ) -> ChatCompletionResponse:
+        if request.stream:
+            # parity: streaming explicitly rejected
+            # (reference serving_chat.py:268-269)
+            raise ValueError("streaming chat responses are not supported yet")
+        messages, mm = parse_chat_content(request.messages)
+        prompt = self._render_prompt(messages)
+        if mm:
+            prompt["multi_modal_data"] = mm
+            if request.mm_processor_kwargs:
+                prompt["mm_processor_kwargs"] = request.mm_processor_kwargs
+        sampling = self._build_sampling(request)
+        modalities = request.modalities or ["text"]
+        request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+
+        message: dict[str, Any] = {"role": "assistant", "content": None}
+        finish_reason = None
+        usage = UsageInfo()
+        output_modality = None
+        if modalities == ["text"]:
+            output_modality = "text"
+        async for out in self.engine.generate(
+            prompt, request_id=request_id, sampling_params=sampling or None,
+            output_modality=output_modality,
+        ):
+            ro = out.request_output
+            if out.final_output_type == "text" and ro is not None:
+                comp = ro.outputs[0]
+                message["content"] = comp.text
+                finish_reason = comp.finish_reason
+                usage.prompt_tokens = len(ro.prompt_token_ids)
+                usage.completion_tokens = len(comp.token_ids)
+            elif out.final_output_type == "audio":
+                wavef = None
+                if ro is not None and ro.outputs[0].multimodal_output:
+                    mmout = ro.outputs[0].multimodal_output
+                    wavef = mmout.get("waveform")
+                    if wavef is None:
+                        wavef = mmout.get("audio")
+                if wavef is not None:
+                    message["audio"] = {
+                        "id": f"audio-{uuid.uuid4().hex[:16]}",
+                        "data": waveform_to_base64_wav(np.asarray(wavef)),
+                        "transcript": message.get("content"),
+                    }
+            elif out.final_output_type == "image" and out.images:
+                buf = io.BytesIO()
+                out.images[0].save(buf, format="PNG")
+                message["images"] = [
+                    base64.b64encode(buf.getvalue()).decode("ascii")
+                ]
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        return ChatCompletionResponse(
+            id=request_id,
+            model=request.model or self.model_name,
+            choices=[ChatCompletionChoice(
+                index=0, message=message, finish_reason=finish_reason)],
+            usage=usage,
+        )
