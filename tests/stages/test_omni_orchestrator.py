@@ -143,7 +143,8 @@ def test_diffusion_stage_and_custom_edge():
         assert "tokens:" in outs[0].prompt
 
 
-def _tokens_to_prompt(cfg, upstream, original_prompt):
+def _tokens_to_prompt(stage, upstream, original_prompt):
+    assert stage.config.stage_id == 1  # processors get the stage itself
     toks = upstream[0].outputs[0].token_ids
     return {"prompt": f"tokens:{toks}"}
 

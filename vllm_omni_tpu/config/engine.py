@@ -42,6 +42,8 @@ class EngineArgs:
     data_parallel_size: int = 1
     expert_parallel_size: int = 1
     sequence_parallel_size: int = 1
+    # "auto" loads from `model`; "random" initializes randomly (tests/bench)
+    load_format: str = "auto"
     # misc / omni plumbing
     worker_cls: Optional[str] = None  # accepted for YAML parity, unused
     scheduler_cls: Optional[str] = None

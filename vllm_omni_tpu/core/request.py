@@ -56,6 +56,11 @@ class Request:
     # (reference mrope.py:415-587); None -> plain 1D positions.
     mrope_positions: Optional[Any] = None
     mrope_delta: int = 0
+    # [N, hidden] embeddings ADDED to the token embedding of generated
+    # position j (clamped to the last row when j >= N) — the talker's
+    # streamed thinker_reply_part (reference qwen3_omni.py:589-898 /
+    # HF talker decode semantics).
+    decode_embeds: Optional[Any] = None
 
     status: RequestStatus = RequestStatus.WAITING
     output_token_ids: list[int] = field(default_factory=list)

@@ -56,6 +56,9 @@ class BatchDescriptor:
     use_embeds: Optional[np.ndarray] = None
     # --- optional M-RoPE position streams [3, T_pad] ---
     mrope_positions: Optional[np.ndarray] = None
+    # --- optional ADD-overlay for decode positions [T_pad, H] + mask ---
+    add_embeds: Optional[np.ndarray] = None
+    use_add_embeds: Optional[np.ndarray] = None
 
     @property
     def padded_num_tokens(self) -> int:

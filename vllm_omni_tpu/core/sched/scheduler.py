@@ -269,6 +269,8 @@ class Scheduler:
 
         embeds = None
         use_embeds = None
+        add_embeds = None
+        use_add = None
         mrope = np.zeros((3, T), np.int32) if self.use_mrope else None
 
         t = 0
@@ -306,6 +308,18 @@ class Scheduler:
                     if pos < pe.shape[0]:
                         embeds[t + i] = pe[pos]
                         use_embeds[t + i] = True
+            # decode-time ADD overlay (streamed reply embeddings)
+            if req.decode_embeds is not None:
+                de = np.asarray(req.decode_embeds)
+                if add_embeds is None:
+                    add_embeds = np.zeros((T, de.shape[-1]), np.float32)
+                    use_add = np.zeros(T, bool)
+                for i in range(n):
+                    pos = start + i
+                    j = pos - req.num_prompt_tokens
+                    if j >= 0:
+                        add_embeds[t + i] = de[min(j, de.shape[0] - 1)]
+                        use_add[t + i] = True
             blocks = self.kv.get_blocks(req.request_id)
             for i in range(n):
                 pos = start + i
@@ -381,6 +395,8 @@ class Scheduler:
             prompt_embeds=embeds,
             use_embeds=use_embeds,
             mrope_positions=mrope,
+            add_embeds=add_embeds,
+            use_add_embeds=use_add,
         )
         return SchedulerOutput(
             descriptor=desc,

@@ -90,12 +90,39 @@ class EngineCore:
         if sched_out.is_empty:
             return []
         sampled, aux = self.runner.execute(sched_out.descriptor)
+        # full-prompt hidden accumulation for latent stages (the
+        # thinker->talker prompt part; reference gpu_ar_model_runner.py:
+        # 388-418 ships these via pooler_output — here they stay on device)
+        if "hidden_tokens" in aux:
+            desc = sched_out.descriptor
+            for rid in sched_out.scheduled_req_ids:
+                req = self.scheduler.requests.get(rid)
+                if req is None:
+                    continue
+                row = sched_out.rows[rid]
+                start = int(desc.cu_q_lens[row])
+                n = int(desc.q_lens[row])
+                n_prompt = int(
+                    desc.is_prompt_token[start:start + n].sum())
+                if n_prompt > 0:
+                    for src, dst in (
+                        ("hidden_tokens", "prompt_hidden"),
+                        ("embed_tokens_full", "prompt_embed_tokens"),
+                    ):
+                        req.multimodal_outputs.setdefault(dst, []).append(
+                            aux[src][start:start + n_prompt])
         produced = self.scheduler.update_from_output(
             sched_out, sampled, eos_token_id=self.eos_token_id
         )
         outputs: list[EngineCoreOutput] = []
         want_mm = self.output_type != "text"
+        finalize = getattr(self.runner.model, "finalize_multimodal", None)
         for req in produced:
+            if req.finished and want_mm and finalize is not None:
+                for k, v in finalize(
+                    self.runner.params, req.additional_information
+                ).items():
+                    req.multimodal_outputs.setdefault(k, []).append(v)
             mm: dict[str, Any] = {}
             if want_mm:
                 row = sched_out.rows[req.request_id]

@@ -50,6 +50,8 @@ class LLM:
             engine_args = EngineArgs.from_dict({"model": model, **kwargs})
         self.engine_args = engine_args
         self.config: EngineConfig = engine_args.create_engine_config()
+        if engine_args.load_format == "random":
+            load_weights = False
         self.core = EngineCore(
             self.config,
             load_weights=load_weights,
@@ -122,8 +124,11 @@ class LLM:
         else:
             raise TypeError(type(parsed))
 
-        mrope_positions = None
-        mrope_delta = 0
+        # engine-level fields carried through additional_information by
+        # stage input processors (thinker->talker handoff)
+        decode_embeds = additional_information.pop("decode_embeds", None)
+        mrope_positions = additional_information.pop("mrope_positions", None)
+        mrope_delta = additional_information.pop("mrope_delta", 0)
         mm_data = getattr(parsed, "multi_modal_data", None)
         if mm_data:
             model = self.core.runner.model
@@ -148,6 +153,7 @@ class LLM:
             additional_information=additional_information,
             mrope_positions=mrope_positions,
             mrope_delta=mrope_delta,
+            decode_embeds=decode_embeds,
             sampling_params=sampling_params.clone(),
         )
         detok = IncrementalDetokenizer(
@@ -211,13 +217,21 @@ class LLM:
             import jax.numpy as jnp
 
             # deferred concat over steps, parity with the reference's
-            # MultimodalOutputProcessor (output_processor.py:99-186)
-            mm = {
-                k: (jnp.stack(v) if len(v) > 1 else v[0])
-                for k, v in req.multimodal_outputs.items()
-            } if finished else {
-                k: v[-1] for k, v in req.multimodal_outputs.items()
-            }
+            # MultimodalOutputProcessor (output_processor.py:99-186):
+            # per-step vectors stack to [steps, ...]; chunked [n, ...]
+            # slices (e.g. prompt_hidden) concatenate along tokens
+            def _merge(v):
+                if len(v) == 1:
+                    return v[0]
+                if getattr(v[0], "ndim", 0) >= 2:
+                    return jnp.concatenate(v, axis=0)
+                return jnp.stack(v)
+
+            mm = (
+                {k: _merge(v) for k, v in req.multimodal_outputs.items()}
+                if finished
+                else {k: v[-1] for k, v in req.multimodal_outputs.items()}
+            )
         comp = CompletionOutput(
             index=0,
             text=detok.text,

@@ -130,7 +130,8 @@ class ModelRunner:
 
     # ------------------------------------------------------------- step
     def _build_step_fn(
-        self, has_embeds: bool, has_mrope: bool = False, donate: bool = True
+        self, has_embeds: bool, has_mrope: bool = False,
+        has_add: bool = False, donate: bool = True,
     ) -> Callable:
         import inspect
 
@@ -151,6 +152,10 @@ class ModelRunner:
             if d.get("prompt_embeds") is not None:
                 overlay = d["prompt_embeds"].astype(embeds.dtype)
                 embeds = jnp.where(d["use_embeds"][:, None], overlay, embeds)
+            if d.get("add_embeds") is not None:
+                add = d["add_embeds"].astype(embeds.dtype)
+                embeds = embeds + jnp.where(
+                    d["use_add_embeds"][:, None], add, 0.0)
             meta = AttentionMetadata(
                 q_starts=d["cu_q_lens"][:-1],
                 q_lens=d["q_lens"],
@@ -187,7 +192,15 @@ class ModelRunner:
             )
             sampled = jnp.where(d["do_sample"], sampled, 0)
             state = state.observe_sampled(sampled, d["do_sample"])
-            aux = {"last_hidden": rows_hidden}
+            aux = {
+                "last_hidden": rows_hidden,
+                # embedding that ENTERED the step at each row's last token
+                # (the thinker_reply_part "token embeds" component)
+                "last_input_embed": embeds[d["logits_indices"]],
+            }
+            if getattr(model, "emit_full_hidden", False):
+                aux["hidden_tokens"] = hidden  # [T, H] all tokens
+                aux["embed_tokens_full"] = embeds  # [T, H] input embeds
             if hasattr(model, "aux_outputs"):
                 aux.update(model.aux_outputs(params, rows_hidden, sampled))
             return sampled, kv_cache, state, aux
@@ -217,7 +230,13 @@ class ModelRunner:
             d_spec["use_embeds"] = rep
         if has_mrope:
             d_spec["mrope_positions"] = rep
-        aux_spec = {"last_hidden": rep}
+        if has_add:
+            d_spec["add_embeds"] = rep
+            d_spec["use_add_embeds"] = rep
+        aux_spec = {"last_hidden": rep, "last_input_embed": rep}
+        if getattr(self.model, "emit_full_hidden", False):
+            aux_spec["hidden_tokens"] = rep
+            aux_spec["embed_tokens_full"] = rep
         aux_spec.update(getattr(self.model, "aux_out_specs", {}))
         sharded = jax.shard_map(
             step,
@@ -262,6 +281,9 @@ class ModelRunner:
             d["use_embeds"] = desc.use_embeds
         if desc.mrope_positions is not None:
             d["mrope_positions"] = desc.mrope_positions
+        if desc.add_embeds is not None:
+            d["add_embeds"] = desc.add_embeds
+            d["use_add_embeds"] = desc.use_add_embeds
         return d
 
     def execute(self, desc: BatchDescriptor) -> tuple[np.ndarray, dict[str, Any]]:
@@ -269,11 +291,12 @@ class ModelRunner:
         d = self.desc_to_device_dict(desc)
         has_embeds = "prompt_embeds" in d
         has_mrope = "mrope_positions" in d
-        key = (has_embeds, has_mrope)
+        has_add = "add_embeds" in d
+        key = (has_embeds, has_mrope, has_add)
         step_fn = self._step_fns.get(key)
         if step_fn is None:
             step_fn = self._step_fns[key] = self._build_step_fn(
-                has_embeds, has_mrope)
+                has_embeds, has_mrope, has_add)
         sampled, self.kv_cache, self.sampling_state, aux = step_fn(
             self.params, self.kv_cache, self.sampling_state, d
         )

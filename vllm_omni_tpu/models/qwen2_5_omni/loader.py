@@ -52,3 +52,33 @@ def thinker_params_from_tensors(model, tensors) -> dict[str, Any]:
 
 def load_thinker_weights(model, path: str) -> dict[str, Any]:
     return thinker_params_from_tensors(model, iter_safetensors(path))
+
+
+def talker_params_from_tensors(model, tensors) -> dict[str, Any]:
+    """HF talker layout: thinker_to_talker_proj.{weight,bias}, model.*,
+    codec_head.weight (optionally under a 'talker.' prefix)."""
+    import jax.numpy as jnp
+
+    dt = model.dtype
+    proj_w = proj_b = head = None
+    text: list[tuple[str, np.ndarray]] = []
+    for name, arr in tensors:
+        if name.startswith("talker."):
+            name = name[len("talker."):]
+        if name == "thinker_to_talker_proj.weight":
+            proj_w = jnp.asarray(np.asarray(arr).T, dt)
+        elif name == "thinker_to_talker_proj.bias":
+            proj_b = jnp.asarray(np.asarray(arr), dt)
+        elif name == "codec_head.weight":
+            head = jnp.asarray(np.asarray(arr).T, dt)
+        elif name.startswith("model."):
+            text.append((name, arr))
+    params = decoder_params_from_tensors(
+        text, num_layers=model.L, dtype=dt, tie_embeddings=True)
+    params["thinker_to_talker_proj"] = {"w": proj_w, "b": proj_b}
+    params["lm_head"] = head
+    return params
+
+
+def load_talker_weights(model, path: str) -> dict[str, Any]:
+    return talker_params_from_tensors(model, iter_safetensors(path))

@@ -49,6 +49,9 @@ class Qwen2_5OmniThinkerForConditionalGeneration:
         self.audio = AudioEncoder(self.audio_cfg, dtype=config.dtype)
         self.visual = VisionEncoder(self.vision_cfg, dtype=config.dtype)
         self.mrope_section = self.text.mrope_section
+        # speech pipelines need full prompt hidden/embeds shipped to the
+        # talker stage (reference gpu_ar_model_runner.py:388-418)
+        self.emit_full_hidden = config.engine_output_type == "latent"
         # token ids for placeholders (HF thinker config)
         self.mrope_params = MRopeParams(
             tokens=MRopeTokenIds(
@@ -92,6 +95,20 @@ class Qwen2_5OmniThinkerForConditionalGeneration:
 
     def compute_logits(self, params, hidden, **kw):
         return self.text.compute_logits(params["text"], hidden, **kw)
+
+    def finalize_multimodal(
+        self, params, additional_information: dict[str, Any]
+    ) -> dict[str, Any]:
+        """Per-request extras for the talker stage: thinker embeddings of
+        the speaker/tts special tokens (HF: talker_text_bos/eos/pad embeds
+        come from the thinker embedding table)."""
+        out: dict[str, Any] = {}
+        for key in ("tts_bos_id", "tts_eos_id", "tts_pad_id"):
+            tok = additional_information.get(key)
+            if tok is not None:
+                out[key.replace("_id", "_embed")] = self.text.embed_tokens(
+                    params["text"], jnp.asarray([int(tok)]))[0]
+        return out
 
     # ----------------------------------------------------- multimodal path
     def process_multimodal(

@@ -102,6 +102,20 @@ class OmniStage:
     def _build_engine(self):
         if self.engine_factory is not None:
             return self.engine_factory(self.config)
+        if self.config.stage_type == "token2wav":
+            from vllm_omni_tpu.config.model import ModelConfig
+            from vllm_omni_tpu.models.qwen2_5_omni.token2wav_engine import (
+                Token2WavEngine,
+            )
+
+            args = self.config.engine_args
+            mc = ModelConfig(
+                model=args.model, hf_config=args.hf_config, dtype=args.dtype,
+                engine_output_type="audio",
+            )
+            return Token2WavEngine(
+                mc, load_weights=args.load_format != "random",
+                **self.config.diffusion_args)
         if self.config.stage_type == "diffusion":
             from vllm_omni_tpu.config.diffusion import OmniDiffusionConfig
             from vllm_omni_tpu.diffusion.engine import DiffusionEngine
@@ -233,9 +247,9 @@ class OmniStage:
         Parity: process_engine_inputs + custom_process_input_func
         (reference omni_stage.py:352-400)."""
         if self.input_processor is not None:
-            return self.input_processor(
-                self.config, upstream_outputs, original_prompt
-            )
+            # processors receive the stage itself: config via stage.config,
+            # and the (ready) engine for model-side embedding lookups
+            return self.input_processor(self, upstream_outputs, original_prompt)
         # default edge: pass the (single) upstream's generated tokens on
         src = self.config.engine_input_source[0]
         out = upstream_outputs[src]
