@@ -16,6 +16,8 @@ import time
 
 
 def main():
+    # throughput mode: deep async pipeline amortizes device round-trips
+    os.environ.setdefault("OMNI_TPU_PIPELINE_DEPTH", "16")
     from vllm_omni_tpu.config.engine import EngineArgs
     from vllm_omni_tpu.core.request import Request
     from vllm_omni_tpu.engine.core import EngineCore
@@ -65,16 +67,14 @@ def main():
     # prefill (+ first decodes) and warmup compiles
     for _ in range(8):
         core.step()
-    # timed decode
+    # timed decode (outputs lag schedule by the pipeline depth; count
+    # tokens actually produced)
     t0 = time.perf_counter()
-    steps = 0
+    tokens = 0
     for _ in range(decode_steps - 16):
-        outs = core.step()
-        if not outs:
-            break
-        steps += 1
+        for out in core.step():
+            tokens += len(out.new_token_ids)
     dt = time.perf_counter() - t0
-    tokens = steps * batch
     tps = tokens / dt
 
     baseline = None

@@ -85,8 +85,9 @@ def test_prefill_then_decode_lifecycle():
     assert d2.positions[0] == 10
     assert d2.seq_lens[row] == 11
     assert not d2.is_prompt_token[0]
+    s.update_from_output(out2, sampled)
 
-    # finish by max_tokens
+    # finish by max_tokens (every scheduled step must be updated)
     for _ in range(2):
         o = s.schedule()
         s.update_from_output(o, sampled)

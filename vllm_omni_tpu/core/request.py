@@ -64,7 +64,10 @@ class Request:
 
     status: RequestStatus = RequestStatus.WAITING
     output_token_ids: list[int] = field(default_factory=list)
-    num_computed_tokens: int = 0  # prompt+output tokens with KV in cache
+    num_computed_tokens: int = 0  # tokens scheduled into the KV cache
+    # epoch guards stale in-flight step results after recompute-preemption
+    # (async pipelined scheduling)
+    sched_epoch: int = 0
     batch_row: int = -1  # persistent row in the device batch, -1 = none
     stop_reason: Optional[Any] = None
     # Accumulated non-text outputs keyed by name (hidden states, codes,

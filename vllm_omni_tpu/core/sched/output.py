@@ -30,6 +30,9 @@ class BatchDescriptor:
     token_rows: np.ndarray  # int32, persistent row of each token (S for pad)
     slot_mapping: np.ndarray  # int32, flat KV slot; pad -> slot 0 (pad block)
     is_prompt_token: np.ndarray  # bool, token comes from the prompt
+    # bool: token value not yet known on host — the step gathers it from
+    # the device-resident prev_sampled[row] (async pipelined scheduling)
+    use_prev_sampled: np.ndarray
     # --- row axis, shape [S] (or [S+1] for cu) ---
     q_lens: np.ndarray  # int32, tokens scheduled this step per row (0 = idle)
     cu_q_lens: np.ndarray  # int32 [S+1], exclusive cumsum of q_lens
@@ -51,6 +54,11 @@ class BatchDescriptor:
     # --- scalars ---
     num_tokens: int = 0  # actual (unpadded) token count
     num_reqs: int = 0  # actual scheduled request count
+    # host-side static flags (select the compiled step variant):
+    # skip the [S,V] count-matrix scatters when no request uses penalties,
+    # and the full-vocab sort when every request is greedy
+    need_penalties: bool = False
+    all_greedy: bool = True
     # --- optional prompt-embeds overlay, shape [T_pad, H] + mask [T_pad] ---
     prompt_embeds: Optional[np.ndarray] = None
     use_embeds: Optional[np.ndarray] = None
@@ -79,6 +87,10 @@ class SchedulerOutput:
     finished_req_ids: list[str] = field(default_factory=list)
     # rows of scheduled requests (aligned with scheduled_req_ids)
     rows: dict[str, int] = field(default_factory=dict)
+    # per request: end position of this step's chunk + scheduling epoch
+    # (async pipelining bookkeeping)
+    chunk_ends: dict[str, int] = field(default_factory=dict)
+    epochs: dict[str, int] = field(default_factory=dict)
     # host-side extra per-request info for model hooks
     runtime_info: dict[str, Any] = field(default_factory=dict)
 

@@ -93,6 +93,10 @@ class Scheduler:
         new_req_ids: list[str] = []
 
         # 1) running requests: decode 1 token, or continue a chunked prefill.
+        # num_computed_tokens advances at SCHEDULE time so steps can be
+        # scheduled ahead of their results (async pipelining): decode
+        # inputs the host hasn't observed yet are gathered on device from
+        # prev_sampled.
         preempted: list[Request] = []
         for req in list(self.running):
             if budget <= 0:
@@ -105,6 +109,11 @@ class Scheduler:
                     if n == 0:
                         continue
             else:
+                # decode: bound look-ahead so no chunk can sample past
+                # max_tokens (chunk ending at prompt+k samples output k)
+                if (req.num_computed_tokens >= req.max_total_tokens - 1
+                        or req.num_computed_tokens >= self.config.max_model_len):
+                    continue
                 n = 1
             total = req.num_computed_tokens + n
             blocks = self.kv.allocate(req.request_id, total)
@@ -162,7 +171,9 @@ class Scheduler:
         eos_token_id: Optional[int] = None,
     ) -> list[Request]:
         """Consume one step's sampled tokens; returns requests that produced
-        a new token this step (for output streaming).
+        a new token this step (for output streaming). May lag behind
+        schedule() by several steps (async pipelining); results from before
+        a preemption are dropped via the epoch guard.
 
         Parity: OmniARScheduler.update_from_output bookkeeping loop
         (reference omni_ar_scheduler.py:64-249).
@@ -172,9 +183,10 @@ class Scheduler:
             req = self.requests.get(rid)
             if req is None or req.finished:
                 continue
-            n = scheduler_output.num_scheduled_tokens[rid]
-            req.num_computed_tokens += n
-            if req.num_computed_tokens < req.num_prompt_tokens:
+            if scheduler_output.epochs.get(rid) != req.sched_epoch:
+                continue  # stale pre-preemption result
+            chunk_end = scheduler_output.chunk_ends[rid]
+            if chunk_end < req.num_prompt_tokens:
                 continue  # mid-prefill chunk: no token produced
             if self.config.one_shot:
                 # Non-AR stage: finished right after its single forward
@@ -223,6 +235,7 @@ class Scheduler:
         req.status = RequestStatus.PREEMPTED
         req.num_computed_tokens = 0
         req.output_token_ids.clear()
+        req.sched_epoch += 1  # drop stale in-flight results
         self.waiting.appendleft(req)
 
     def _finish(self, req: Request) -> None:
@@ -251,6 +264,7 @@ class Scheduler:
         token_rows = np.full(T, S, np.int32)
         slot_mapping = np.zeros(T, np.int32)
         is_prompt = np.zeros(T, bool)
+        use_prev = np.zeros(T, bool)
         q_lens = np.zeros(S, np.int32)
         seq_lens = np.zeros(S, np.int32)
         block_tables = np.zeros((S, self.max_blocks_per_seq), np.int32)
@@ -277,16 +291,27 @@ class Scheduler:
         sched_ids: list[str] = []
         num_sched: dict[str, int] = {}
         rows: dict[str, int] = {}
+        chunk_ends: dict[str, int] = {}
+        epochs: dict[str, int] = {}
+        need_penalties = False
+        all_greedy = True
         for req, n in scheduled:
             row = req.batch_row
             sched_ids.append(req.request_id)
             num_sched[req.request_id] = n
             rows[req.request_id] = row
+            chunk_ends[req.request_id] = req.num_computed_tokens + n
+            epochs[req.request_id] = req.sched_epoch
             start = req.num_computed_tokens
             all_ids = req.all_token_ids
             for i in range(n):
                 pos = start + i
-                token_ids[t + i] = all_ids[pos] if pos < len(all_ids) else 0
+                if pos < len(all_ids):
+                    token_ids[t + i] = all_ids[pos]
+                else:
+                    # token not yet observed on host: device gathers it
+                    # from prev_sampled[row] (async pipelining)
+                    use_prev[t + i] = True
                 positions[t + i] = pos
                 token_rows[t + i] = row
                 is_prompt[t + i] = pos < req.num_prompt_tokens
@@ -335,6 +360,11 @@ class Scheduler:
                 reset_rows[row] = True
                 self._rows_to_reset.discard(row)
             sp = req.sampling_params
+            if (sp.repetition_penalty != 1.0 or sp.presence_penalty != 0.0
+                    or sp.frequency_penalty != 0.0):
+                need_penalties = True
+            if sp.temperature != 0.0:
+                all_greedy = False
             temperature[row] = sp.temperature
             top_p[row] = sp.top_p
             top_k[row] = sp.top_k
@@ -343,7 +373,10 @@ class Scheduler:
             pres_pen[row] = sp.presence_penalty
             freq_pen[row] = sp.frequency_penalty
             seeds[row] = np.uint32(sp.seed if sp.seed is not None else 0)
-            step_counters[row] = req.num_output_tokens
+            # number of tokens generated before the sample this chunk makes
+            step_counters[row] = max(0, start + n - req.num_prompt_tokens)
+            # schedule-time accounting (results may arrive steps later)
+            req.num_computed_tokens = start + n
             t += n
 
         cu_q = np.zeros(S + 1, np.int32)
@@ -374,6 +407,7 @@ class Scheduler:
             token_rows=token_rows,
             slot_mapping=slot_mapping,
             is_prompt_token=is_prompt,
+            use_prev_sampled=use_prev,
             q_lens=q_lens,
             cu_q_lens=cu_q,
             seq_lens=seq_lens,
@@ -392,16 +426,21 @@ class Scheduler:
             step_counters=step_counters,
             num_tokens=num_tokens,
             num_reqs=len(scheduled),
+            need_penalties=need_penalties,
+            all_greedy=all_greedy,
             prompt_embeds=embeds,
             use_embeds=use_embeds,
             mrope_positions=mrope,
             add_embeds=add_embeds,
             use_add_embeds=use_add,
         )
-        return SchedulerOutput(
+        out = SchedulerOutput(
             descriptor=desc,
             scheduled_req_ids=sched_ids,
             num_scheduled_tokens=num_sched,
             new_req_ids=new_req_ids,
             rows=rows,
         )
+        out.chunk_ends = chunk_ends
+        out.epochs = epochs
+        return out

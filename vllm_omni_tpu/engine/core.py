@@ -46,7 +46,18 @@ class EngineCore:
         load_weights: bool = True,
         model: Optional[Any] = None,
         attention_backend: Optional[str] = None,
+        pipeline_depth: Optional[int] = None,
     ):
+        import os
+        from collections import deque
+
+        # async pipelined scheduling: keep up to `depth` steps in flight
+        # before syncing results (device round-trips dominate decode on
+        # remote-attached TPUs); 0 = fully synchronous
+        if pipeline_depth is None:
+            pipeline_depth = int(os.environ.get("OMNI_TPU_PIPELINE_DEPTH", 4))
+        self.pipeline_depth = max(0, pipeline_depth)
+        self._inflight: "deque" = deque()
         self.config = config
         self.runner = ModelRunner(
             config,
@@ -83,34 +94,66 @@ class EngineCore:
         self.scheduler.abort_request(request_id)
 
     def has_unfinished(self) -> bool:
-        return self.scheduler.has_unfinished()
+        return self.scheduler.has_unfinished() or bool(self._inflight)
 
     def step(self) -> list[EngineCoreOutput]:
+        """Schedule + launch one step; drain (sync) results of steps that
+        fell out of the pipeline window. Outputs lag schedule by up to
+        `pipeline_depth` steps but token streams are identical."""
         sched_out = self.scheduler.schedule()
-        if sched_out.is_empty:
-            return []
-        sampled, aux = self.runner.execute(sched_out.descriptor)
+        if not sched_out.is_empty:
+            sampled_dev, aux = self.runner.execute(sched_out.descriptor)
+            self._collect_full_hidden(sched_out, aux)
+            self._inflight.append((sched_out, sampled_dev, aux))
+        outputs: list[EngineCoreOutput] = []
+        if len(self._inflight) > self.pipeline_depth:
+            # drain half the window in ONE batched fetch (each device
+            # round-trip has a fixed latency cost; amortize it)
+            outputs = self._drain_many(max(1, (self.pipeline_depth + 1) // 2))
+        elif sched_out.is_empty and self._inflight:
+            outputs = self._drain_many(len(self._inflight))
+        return outputs
+
+    def _drain_many(self, k: int) -> list[EngineCoreOutput]:
+        import jax.numpy as jnp
+
+        items = [self._inflight.popleft() for _ in range(k)]
+        if k == 1:
+            stacked = np.asarray(jax.device_get(items[0][1]))[None]
+        else:
+            stacked = np.asarray(
+                jax.device_get(jnp.stack([s for _, s, _ in items])))
+        outputs: list[EngineCoreOutput] = []
+        for (sched, _, aux), row in zip(items, stacked):
+            outputs.extend(self._process_results(sched, row, aux))
+        return outputs
+
+    def _collect_full_hidden(self, sched_out, aux) -> None:
         # full-prompt hidden accumulation for latent stages (the
         # thinker->talker prompt part; reference gpu_ar_model_runner.py:
         # 388-418 ships these via pooler_output — here they stay on device)
-        if "hidden_tokens" in aux:
-            desc = sched_out.descriptor
-            for rid in sched_out.scheduled_req_ids:
-                req = self.scheduler.requests.get(rid)
-                if req is None:
-                    continue
-                row = sched_out.rows[rid]
-                start = int(desc.cu_q_lens[row])
-                n = int(desc.q_lens[row])
-                n_prompt = int(
-                    desc.is_prompt_token[start:start + n].sum())
-                if n_prompt > 0:
-                    for src, dst in (
-                        ("hidden_tokens", "prompt_hidden"),
-                        ("embed_tokens_full", "prompt_embed_tokens"),
-                    ):
-                        req.multimodal_outputs.setdefault(dst, []).append(
-                            aux[src][start:start + n_prompt])
+        if "hidden_tokens" not in aux:
+            return
+        desc = sched_out.descriptor
+        for rid in sched_out.scheduled_req_ids:
+            req = self.scheduler.requests.get(rid)
+            if req is None:
+                continue
+            row = sched_out.rows[rid]
+            start = int(desc.cu_q_lens[row])
+            n = int(desc.q_lens[row])
+            n_prompt = int(desc.is_prompt_token[start:start + n].sum())
+            if n_prompt > 0:
+                for src, dst in (
+                    ("hidden_tokens", "prompt_hidden"),
+                    ("embed_tokens_full", "prompt_embed_tokens"),
+                ):
+                    req.multimodal_outputs.setdefault(dst, []).append(
+                        aux[src][start:start + n_prompt])
+
+    def _process_results(
+        self, sched_out, sampled: np.ndarray, aux
+    ) -> list[EngineCoreOutput]:
         produced = self.scheduler.update_from_output(
             sched_out, sampled, eos_token_id=self.eos_token_id
         )

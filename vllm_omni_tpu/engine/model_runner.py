@@ -79,6 +79,9 @@ class ModelRunner:
         }
         S = config.scheduler_config.max_num_seqs
         self.sampling_state = SamplingState.init(S, mc.vocab_size)
+        # device-resident last sampled token per row: decode steps scheduled
+        # ahead of host observation gather their input token from here
+        self.prev_sampled = jnp.zeros(S, jnp.int32)
         if self.mesh is not None:
             self._shard_state()
         self._step_fns: dict[Any, Callable] = {}
@@ -104,6 +107,7 @@ class ModelRunner:
             SamplingState(REPLICATED, REPLICATED),
             self.mesh,
         )
+        self.prev_sampled = place(self.prev_sampled, REPLICATED, self.mesh)
 
     # ----------------------------------------------------------- sizing
     def _decide_num_blocks(self) -> int:
@@ -132,6 +136,7 @@ class ModelRunner:
     def _build_step_fn(
         self, has_embeds: bool, has_mrope: bool = False,
         has_add: bool = False, donate: bool = True,
+        need_penalties: bool = True, all_greedy: bool = False,
     ) -> Callable:
         import inspect
 
@@ -146,8 +151,61 @@ class ModelRunner:
                 "expert" if (self.mesh is not None and ep > 1) else None
             )
 
-        def step(params, kv_cache, state: SamplingState, d: dict):
-            token_ids = d["token_ids"]
+        S = self.config.scheduler_config.max_num_seqs
+        MAXB = cdiv(
+            self.config.scheduler_config.max_model_len,
+            self.config.cache_config.block_size,
+        )
+
+        def unpack(d: dict) -> dict:
+            """Rehydrate the packed descriptor (ONE int32 + ONE float32
+            upload per step — per-transfer latency on the device tunnel
+            dominates decode otherwise)."""
+            ints = d["ints"]
+            floats = d["floats"]
+            T = (ints.shape[0] - (9 * S + 1) - S * MAXB) // 6
+            o = 0
+
+            def take(n):
+                nonlocal o
+                out = ints[o:o + n]
+                o += n
+                return out
+
+            u = {
+                "token_ids": take(T),
+                "positions": take(T),
+                "token_rows": take(T),
+                "slot_mapping": take(T),
+                "is_prompt_token": take(T).astype(bool),
+                "use_prev_sampled": take(T).astype(bool),
+                "q_lens": take(S),
+                "cu_q_lens": take(S + 1),
+                "seq_lens": take(S),
+                "logits_indices": take(S),
+                "do_sample": take(S).astype(bool),
+                "reset_rows": take(S).astype(bool),
+                "top_k": take(S),
+                "seeds": take(S).astype(jnp.uint32),
+                "step_counters": take(S),
+                "block_tables": take(S * MAXB).reshape(S, MAXB),
+            }
+            (u["temperature"], u["top_p"], u["min_p"],
+             u["repetition_penalty"], u["presence_penalty"],
+             u["frequency_penalty"]) = jnp.split(floats, 6)
+            for k in ("prompt_embeds", "use_embeds", "add_embeds",
+                      "use_add_embeds", "mrope_positions"):
+                if k in d:
+                    u[k] = d[k]
+            return u
+
+        def step(params, kv_cache, state: SamplingState, prev_sampled, d: dict):
+            d = unpack(d)
+            token_ids = jnp.where(
+                d["use_prev_sampled"],
+                prev_sampled[jnp.clip(d["token_rows"], 0, S - 1)],
+                d["token_ids"],
+            )
             embeds = model.embed_tokens(params, token_ids)
             if d.get("prompt_embeds") is not None:
                 overlay = d["prompt_embeds"].astype(embeds.dtype)
@@ -176,22 +234,30 @@ class ModelRunner:
             )  # [S, V] f32
             logits = logits.astype(jnp.float32)
 
-            state = state.reset_rows(d["reset_rows"])
-            state = state.observe_input_tokens(
-                token_ids, d["token_rows"], d["is_prompt_token"]
-            )
-            logits = apply_penalties(
-                logits, state,
-                d["repetition_penalty"], d["presence_penalty"],
-                d["frequency_penalty"],
-            )
-            sampled = sample(
-                logits,
-                d["temperature"], d["top_p"], d["top_k"], d["min_p"],
-                d["seeds"], d["step_counters"],
-            )
+            # the [S,V] count-matrix bookkeeping costs ~15ms/step on v5e;
+            # compiled out entirely when no scheduled request penalizes
+            if need_penalties:
+                state = state.reset_rows(d["reset_rows"])
+                state = state.observe_input_tokens(
+                    token_ids, d["token_rows"], d["is_prompt_token"]
+                )
+                logits = apply_penalties(
+                    logits, state,
+                    d["repetition_penalty"], d["presence_penalty"],
+                    d["frequency_penalty"],
+                )
+            if all_greedy:
+                sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                sampled = sample(
+                    logits,
+                    d["temperature"], d["top_p"], d["top_k"], d["min_p"],
+                    d["seeds"], d["step_counters"],
+                )
             sampled = jnp.where(d["do_sample"], sampled, 0)
-            state = state.observe_sampled(sampled, d["do_sample"])
+            if need_penalties:
+                state = state.observe_sampled(sampled, d["do_sample"])
+            prev_sampled = jnp.where(d["do_sample"], sampled, prev_sampled)
             aux = {
                 "last_hidden": rows_hidden,
                 # embedding that ENTERED the step at each row's last token
@@ -203,9 +269,9 @@ class ModelRunner:
                 aux["embed_tokens_full"] = embeds  # [T, H] input embeds
             if hasattr(model, "aux_outputs"):
                 aux.update(model.aux_outputs(params, rows_hidden, sampled))
-            return sampled, kv_cache, state, aux
+            return sampled, kv_cache, state, prev_sampled, aux
 
-        donate_argnums = (1, 2) if donate else ()
+        donate_argnums = (1, 2, 3) if donate else ()
         if self.mesh is None:
             return jax.jit(step, donate_argnums=donate_argnums)
 
@@ -215,16 +281,7 @@ class ModelRunner:
         from vllm_omni_tpu.parallel.sharding import REPLICATED
 
         rep = REPLICATED
-        d_spec = {
-            k: rep
-            for k in (
-                "token_ids positions token_rows slot_mapping is_prompt_token "
-                "q_lens cu_q_lens seq_lens block_tables logits_indices "
-                "do_sample reset_rows temperature top_p top_k min_p "
-                "repetition_penalty presence_penalty frequency_penalty "
-                "seeds step_counters"
-            ).split()
-        }
+        d_spec = {"ints": rep, "floats": rep}
         if has_embeds:
             d_spec["prompt_embeds"] = rep
             d_spec["use_embeds"] = rep
@@ -245,37 +302,32 @@ class ModelRunner:
                 self.param_specs,
                 self.kv_specs,
                 SamplingState(rep, rep),
+                rep,
                 d_spec,
             ),
-            out_specs=(rep, self.kv_specs, SamplingState(rep, rep), aux_spec),
+            out_specs=(
+                rep, self.kv_specs, SamplingState(rep, rep), rep, aux_spec),
             check_vma=False,
         )
         return jax.jit(sharded, donate_argnums=donate_argnums)
 
     def desc_to_device_dict(self, desc: BatchDescriptor) -> dict[str, Any]:
-        d = {
-            "token_ids": desc.token_ids,
-            "positions": desc.positions,
-            "token_rows": desc.token_rows,
-            "slot_mapping": desc.slot_mapping,
-            "is_prompt_token": desc.is_prompt_token,
-            "q_lens": desc.q_lens,
-            "cu_q_lens": desc.cu_q_lens,
-            "seq_lens": desc.seq_lens,
-            "block_tables": desc.block_tables,
-            "logits_indices": desc.logits_indices,
-            "do_sample": desc.do_sample,
-            "reset_rows": desc.reset_rows,
-            "temperature": desc.temperature,
-            "top_p": desc.top_p,
-            "top_k": desc.top_k,
-            "min_p": desc.min_p,
-            "repetition_penalty": desc.repetition_penalty,
-            "presence_penalty": desc.presence_penalty,
-            "frequency_penalty": desc.frequency_penalty,
-            "seeds": desc.seeds,
-            "step_counters": desc.step_counters,
-        }
+        ints = np.concatenate([
+            desc.token_ids, desc.positions, desc.token_rows,
+            desc.slot_mapping, desc.is_prompt_token.astype(np.int32),
+            desc.use_prev_sampled.astype(np.int32),
+            desc.q_lens, desc.cu_q_lens, desc.seq_lens,
+            desc.logits_indices, desc.do_sample.astype(np.int32),
+            desc.reset_rows.astype(np.int32), desc.top_k,
+            desc.seeds.view(np.int32), desc.step_counters,
+            desc.block_tables.reshape(-1),
+        ]).astype(np.int32, copy=False)
+        floats = np.concatenate([
+            desc.temperature, desc.top_p, desc.min_p,
+            desc.repetition_penalty, desc.presence_penalty,
+            desc.frequency_penalty,
+        ]).astype(np.float32, copy=False)
+        d = {"ints": ints, "floats": floats}
         if desc.prompt_embeds is not None:
             d["prompt_embeds"] = desc.prompt_embeds
             d["use_embeds"] = desc.use_embeds
@@ -286,18 +338,25 @@ class ModelRunner:
             d["use_add_embeds"] = desc.use_add_embeds
         return d
 
-    def execute(self, desc: BatchDescriptor) -> tuple[np.ndarray, dict[str, Any]]:
-        """Run one step; returns (sampled tokens [S] on host, aux device arrays)."""
+    def execute(self, desc: BatchDescriptor) -> tuple[Any, dict[str, Any]]:
+        """Launch one step asynchronously; returns (sampled [S] DEVICE
+        array, aux device arrays). The caller decides when to sync —
+        fetching every step costs a full device round-trip."""
         d = self.desc_to_device_dict(desc)
         has_embeds = "prompt_embeds" in d
         has_mrope = "mrope_positions" in d
         has_add = "add_embeds" in d
-        key = (has_embeds, has_mrope, has_add)
+        key = (has_embeds, has_mrope, has_add,
+               desc.need_penalties, desc.all_greedy)
         step_fn = self._step_fns.get(key)
         if step_fn is None:
             step_fn = self._step_fns[key] = self._build_step_fn(
-                has_embeds, has_mrope, has_add)
-        sampled, self.kv_cache, self.sampling_state, aux = step_fn(
-            self.params, self.kv_cache, self.sampling_state, d
+                has_embeds, has_mrope, has_add,
+                need_penalties=desc.need_penalties,
+                all_greedy=desc.all_greedy)
+        (sampled, self.kv_cache, self.sampling_state,
+         self.prev_sampled, aux) = step_fn(
+            self.params, self.kv_cache, self.sampling_state,
+            self.prev_sampled, d,
         )
-        return np.asarray(jax.device_get(sampled)), aux
+        return sampled, aux
