@@ -61,6 +61,10 @@ class Request:
     # streamed thinker_reply_part (reference qwen3_omni.py:589-898 /
     # HF talker decode semantics).
     decode_embeds: Optional[Any] = None
+    # [n_levels, prompt_len, hidden] deepstack visual embeddings added to
+    # the hidden states after the first n_levels decoder layers (zeros at
+    # non-visual positions; reference qwen3_omni_moe_thinker.py:597-720).
+    deepstack_embeds: Optional[Any] = None
 
     status: RequestStatus = RequestStatus.WAITING
     output_token_ids: list[int] = field(default_factory=list)

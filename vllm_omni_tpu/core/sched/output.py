@@ -67,6 +67,8 @@ class BatchDescriptor:
     # --- optional ADD-overlay for decode positions [T_pad, H] + mask ---
     add_embeds: Optional[np.ndarray] = None
     use_add_embeds: Optional[np.ndarray] = None
+    # --- optional deepstack visual embeds [n_levels, T_pad, H] ---
+    deepstack_embeds: Optional[np.ndarray] = None
 
     @property
     def padded_num_tokens(self) -> int:

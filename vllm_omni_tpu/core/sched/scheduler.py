@@ -285,7 +285,8 @@ class Scheduler:
         use_embeds = None
         add_embeds = None
         use_add = None
-        mrope = np.zeros((3, T), np.int32) if self.use_mrope else None
+        deepstack = None
+        mrope = np.zeros((3, T), np.float32) if self.use_mrope else None
 
         t = 0
         sched_ids: list[str] = []
@@ -333,6 +334,16 @@ class Scheduler:
                     if pos < pe.shape[0]:
                         embeds[t + i] = pe[pos]
                         use_embeds[t + i] = True
+            # deepstack visual embeds for this chunk's prompt positions
+            if req.deepstack_embeds is not None:
+                de = np.asarray(req.deepstack_embeds)
+                if deepstack is None:
+                    deepstack = np.zeros((de.shape[0], T, de.shape[-1]),
+                                         np.float32)
+                for i in range(n):
+                    pos = start + i
+                    if pos < de.shape[1]:
+                        deepstack[:, t + i] = de[:, pos]
             # decode-time ADD overlay (streamed reply embeddings)
             if req.decode_embeds is not None:
                 de = np.asarray(req.decode_embeds)
@@ -433,6 +444,7 @@ class Scheduler:
             mrope_positions=mrope,
             add_embeds=add_embeds,
             use_add_embeds=use_add,
+            deepstack_embeds=deepstack,
         )
         out = SchedulerOutput(
             descriptor=desc,

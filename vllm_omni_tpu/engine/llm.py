@@ -129,6 +129,7 @@ class LLM:
         decode_embeds = additional_information.pop("decode_embeds", None)
         mrope_positions = additional_information.pop("mrope_positions", None)
         mrope_delta = additional_information.pop("mrope_delta", 0)
+        deepstack_embeds = additional_information.pop("deepstack_embeds", None)
         mm_data = getattr(parsed, "multi_modal_data", None)
         if mm_data:
             model = self.core.runner.model
@@ -144,6 +145,7 @@ class LLM:
             prompt_embeds = mm["prompt_embeds"]
             mrope_positions = mm["mrope_positions"]
             mrope_delta = mm["mrope_delta"]
+            deepstack_embeds = mm.get("deepstack_embeds")
 
         req = Request(
             request_id=request_id,
@@ -154,6 +156,7 @@ class LLM:
             mrope_positions=mrope_positions,
             mrope_delta=mrope_delta,
             decode_embeds=decode_embeds,
+            deepstack_embeds=deepstack_embeds,
             sampling_params=sampling_params.clone(),
         )
         detok = IncrementalDetokenizer(

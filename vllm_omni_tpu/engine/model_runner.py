@@ -135,7 +135,8 @@ class ModelRunner:
     # ------------------------------------------------------------- step
     def _build_step_fn(
         self, has_embeds: bool, has_mrope: bool = False,
-        has_add: bool = False, donate: bool = True,
+        has_add: bool = False, has_deepstack: bool = False,
+        donate: bool = True,
         need_penalties: bool = True, all_greedy: bool = False,
     ) -> Callable:
         import inspect
@@ -194,7 +195,8 @@ class ModelRunner:
              u["repetition_penalty"], u["presence_penalty"],
              u["frequency_penalty"]) = jnp.split(floats, 6)
             for k in ("prompt_embeds", "use_embeds", "add_embeds",
-                      "use_add_embeds", "mrope_positions"):
+                      "use_add_embeds", "mrope_positions",
+                      "deepstack_embeds"):
                 if k in d:
                     u[k] = d[k]
             return u
@@ -224,9 +226,12 @@ class ModelRunner:
                 slot_mapping=d["slot_mapping"],
                 rope_positions=d.get("mrope_positions"),
             )
+            step_fwd_kwargs = dict(fwd_kwargs)
+            if d.get("deepstack_embeds") is not None:
+                step_fwd_kwargs["deepstack_embeds"] = d["deepstack_embeds"]
             hidden, kv_cache = model.forward(
                 params, embeds, kv_cache, meta,
-                attention_backend=backend, tp_axis=tp_axis, **fwd_kwargs,
+                attention_backend=backend, tp_axis=tp_axis, **step_fwd_kwargs,
             )
             rows_hidden = hidden[d["logits_indices"]]  # [S, H]
             logits = model.compute_logits(
@@ -290,6 +295,8 @@ class ModelRunner:
         if has_add:
             d_spec["add_embeds"] = rep
             d_spec["use_add_embeds"] = rep
+        if has_deepstack:
+            d_spec["deepstack_embeds"] = rep
         aux_spec = {"last_hidden": rep, "last_input_embed": rep}
         if getattr(self.model, "emit_full_hidden", False):
             aux_spec["hidden_tokens"] = rep
@@ -336,6 +343,8 @@ class ModelRunner:
         if desc.add_embeds is not None:
             d["add_embeds"] = desc.add_embeds
             d["use_add_embeds"] = desc.use_add_embeds
+        if desc.deepstack_embeds is not None:
+            d["deepstack_embeds"] = desc.deepstack_embeds
         return d
 
     def execute(self, desc: BatchDescriptor) -> tuple[Any, dict[str, Any]]:
@@ -346,12 +355,14 @@ class ModelRunner:
         has_embeds = "prompt_embeds" in d
         has_mrope = "mrope_positions" in d
         has_add = "add_embeds" in d
-        key = (has_embeds, has_mrope, has_add,
+        has_deepstack = "deepstack_embeds" in d
+        key = (has_embeds, has_mrope, has_add, has_deepstack,
                desc.need_penalties, desc.all_greedy)
         step_fn = self._step_fns.get(key)
         if step_fn is None:
             step_fn = self._step_fns[key] = self._build_step_fn(
                 has_embeds, has_mrope, has_add,
+                has_deepstack=has_deepstack,
                 need_penalties=desc.need_penalties,
                 all_greedy=desc.all_greedy)
         (sampled, self.kv_cache, self.sampling_state,

@@ -50,6 +50,7 @@ class Qwen2ForCausalLM:
         rs = config.get("rope_scaling") or {}
         if rs and rs.get("mrope_section"):
             self.mrope_section = list(rs["mrope_section"])
+        self.mrope_interleaved = bool((rs or {}).get("mrope_interleaved", False))
         self.scale = self.D**-0.5
         self.dtype = config.dtype
         self.sliding_window = 0
@@ -155,6 +156,8 @@ class Qwen2ForCausalLM:
             q, k = apply_rope(
                 q, k, rp, cos, sin,
                 mrope_section=self.mrope_section if rp.ndim > 1 else None,
+                interleaved=self.mrope_interleaved,
+                theta=self.theta,
             )
             k_c, v_c = write_kv(k_c, v_c, k, v, meta.slot_mapping)
             attn = ragged_paged_attention(

@@ -76,6 +76,7 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
         attention_backend: Optional[str] = None,
         tp_axis: Optional[str] = None,
         ep_axis: Optional[str] = None,
+        deepstack_embeds: Optional[jax.Array] = None,  # [n_levels, T, H]
     ) -> tuple[jax.Array, dict[str, jax.Array]]:
         from vllm_omni_tpu.parallel.sharding import psum_if
 
@@ -84,9 +85,19 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
         cos, sin = self._cos, self._sin
         impl = self.moe_impl
 
+        # deepstack: visual features added to hidden states AFTER the first
+        # n_levels decoder layers (reference qwen3_omni_moe_thinker.py:
+        # 597-720; DeepStack arXiv:2406.04334)
+        if deepstack_embeds is not None:
+            ds = jnp.zeros((self.L, T, self.H), hidden.dtype)
+            ds = ds.at[: deepstack_embeds.shape[0]].set(
+                deepstack_embeds.astype(hidden.dtype))
+        else:
+            ds = jnp.zeros((self.L, 1, 1), hidden.dtype)
+
         def layer(carry, xs):
             h = carry
-            p, k_c, v_c = xs
+            p, k_c, v_c, ds_l = xs
             res = h
             h_n = rms_norm(h, p["input_layernorm"], self.eps)
             q = linear(h_n, p["q_proj"]).reshape(T, -1, self.D)
@@ -98,6 +109,8 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
             q, k = apply_rope(
                 q, k, rp, cos, sin,
                 mrope_section=self.mrope_section if rp.ndim > 1 else None,
+                interleaved=self.mrope_interleaved,
+                theta=self.theta,
             )
             k_c, v_c = write_kv(k_c, v_c, k, v, meta.slot_mapping)
             attn = ragged_paged_attention(
@@ -125,10 +138,12 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
             else:
                 moe_out = psum_if(moe_out, ep_axis or tp_axis)
             h = res + moe_out
+            if deepstack_embeds is not None:
+                h = h + ds_l
             return h, (k_c, v_c)
 
         hidden, (new_k, new_v) = jax.lax.scan(
-            layer, hidden, (lp, kv_cache["k"], kv_cache["v"])
+            layer, hidden, (lp, kv_cache["k"], kv_cache["v"], ds)
         )
         hidden = rms_norm(hidden, params["norm"], self.eps)
         return hidden, {"k": new_k, "v": new_v}

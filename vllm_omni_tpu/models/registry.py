@@ -40,6 +40,10 @@ _AR_MODELS: dict[str, tuple[str, str]] = {
         "qwen3_omni.qwen3_omni",
         "Qwen3OmniMoeForConditionalGeneration",
     ),
+    "Qwen3OmniMoeThinkerForConditionalGeneration": (
+        "qwen3_omni.thinker",
+        "Qwen3OmniMoeThinkerForConditionalGeneration",
+    ),
 }
 
 # diffusion pipeline class name (model_index.json _class_name) -> module

@@ -226,3 +226,154 @@ def compute_mrope_positions(
     assert pos.shape[1] == L, f"positions {pos.shape[1]} != seq {L}"
     delta = int(pos.max()) + 1 - L
     return pos.astype(np.int32), delta
+
+
+# ===================================================== Qwen3-Omni variant
+def _audio_len_qwen3(mel_len: int) -> int:
+    """Parity: qwen3_omni _get_feat_extract_output_lengths."""
+    leave = mel_len % 100
+    feat = (leave - 1) // 2 + 1
+    return ((feat - 1) // 2 + 1 - 1) // 2 + 1 + (mel_len // 100) * 13
+
+
+def compute_mrope_positions_qwen3(
+    input_ids: Sequence[int],
+    params: MRopeParams,
+    image_grid_thw: Optional[list[tuple[int, int, int]]] = None,
+    video_grid_thw: Optional[list[tuple[int, int, int]]] = None,
+    audio_seqlens: Optional[list[int]] = None,
+    second_per_grids: Optional[list[float]] = None,
+    use_audio_in_video: bool = False,
+) -> tuple[np.ndarray, int]:
+    """Qwen3-Omni position builder (float positions, interleaved M-RoPE;
+    HF Qwen3OmniMoeThinkerForConditionalGeneration.get_rope_index):
+    segments are detected via vision/audio START tokens, videos step t by
+    second_per_grid * 25 as floats, and audio-in-video merges the two
+    streams token-by-token ordered by t."""
+    ids = np.asarray(input_ids, np.int64)
+    L = len(ids)
+    tk = params.tokens
+    merge = params.spatial_merge_size
+    pps = params.position_id_per_seconds
+
+    if not image_grid_thw and not video_grid_thw:
+        pos = np.broadcast_to(
+            np.arange(L, dtype=np.float32), (3, L)).copy()
+        return pos, (1 + int(pos.max()) - L if L else 0)
+
+    image_grid_thw = image_grid_thw or []
+    video_grid_thw = video_grid_thw or []
+    audio_seqlens = audio_seqlens or []
+    second_per_grids = second_per_grids or [1.0] * len(video_grid_thw)
+
+    tokens = ids.tolist()
+    segs: list[np.ndarray] = []
+    st = 0
+    img_i = vid_i = aud_i = 0
+
+    def text_seg(n, start):
+        return np.broadcast_to(
+            np.arange(n, dtype=np.float64) + start, (3, n)).copy()
+
+    def vision_seg(start, t_index, gh, gw):
+        lh, lw = gh // merge, gw // merge
+        nt = len(t_index)
+        t = np.repeat(np.asarray(t_index, np.float64), lh * lw)
+        h = np.tile(np.repeat(np.arange(lh), lw), nt).astype(np.float64)
+        w = np.tile(np.arange(lw), nt * lh).astype(np.float64)
+        return np.stack([t, h, w]) + start
+
+    num_images = sum(
+        1 for i, t in enumerate(tokens)
+        if t == tk.vision_start_token_id and i + 1 < L
+        and tokens[i + 1] == tk.image_token_id)
+    num_videos = sum(
+        1 for i, t in enumerate(tokens)
+        if t == tk.vision_start_token_id and i + 1 < L
+        and tokens[i + 1] in (tk.video_token_id, tk.audio_start_token_id))
+    num_audios = tokens.count(tk.audio_start_token_id)
+    if use_audio_in_video:
+        n_segments = num_images + num_audios
+    else:
+        n_segments = num_images + num_videos + num_audios
+
+    def cur_max() -> float:
+        return float(segs[-1].max()) if segs else -1.0
+
+    remain_v, remain_i, remain_a = num_videos, num_images, num_audios
+    for _ in range(n_segments):
+        st_idx = cur_max() + 1
+        ed_vis = (tokens.index(tk.vision_start_token_id, st)
+                  if (remain_i > 0 or remain_v > 0)
+                  and tk.vision_start_token_id in tokens[st:] else L + 1)
+        ed_aud = (tokens.index(tk.audio_start_token_id, st)
+                  if remain_a > 0
+                  and tk.audio_start_token_id in tokens[st:] else L + 1)
+        min_ed = min(ed_vis, ed_aud)
+        text_len = min_ed - st
+        if text_len:
+            segs.append(text_seg(text_len, st_idx))
+            st_idx += text_len
+        uaiv_here = (min_ed == ed_vis and min_ed + 1 == ed_aud)
+        bos_len = 2 if uaiv_here else 1
+        eos_len = 2 if uaiv_here else 1
+        segs.append(text_seg(bos_len, st_idx))
+        st_idx += bos_len
+
+        if min_ed == ed_aud and not uaiv_here:
+            alen = _audio_len_qwen3(audio_seqlens[aud_i])
+            segs.append(text_seg(alen, st_idx))
+            st += text_len + bos_len + alen + eos_len
+            aud_i += 1
+            remain_a -= 1
+        elif min_ed == ed_vis and tokens[min_ed + 1] == tk.image_token_id:
+            gt, gh, gw = image_grid_thw[img_i]
+            t_index = np.arange(gt, dtype=np.float64) * 1 * pps
+            segs.append(vision_seg(st_idx, t_index, gh, gw))
+            st += text_len + bos_len + gt * (gh // merge) * (gw // merge) + eos_len
+            img_i += 1
+            remain_i -= 1
+        elif min_ed == ed_vis and not uaiv_here:
+            gt, gh, gw = video_grid_thw[vid_i]
+            t_index = (np.arange(gt, dtype=np.float64)
+                       * float(second_per_grids[vid_i]) * pps)
+            segs.append(vision_seg(st_idx, t_index, gh, gw))
+            st += text_len + bos_len + gt * (gh // merge) * (gw // merge) + eos_len
+            vid_i += 1
+            remain_v -= 1
+        else:  # audio in video: merge streams ordered by t
+            alen = _audio_len_qwen3(audio_seqlens[aud_i])
+            audio_pos = text_seg(alen, st_idx)
+            gt, gh, gw = video_grid_thw[vid_i]
+            t_index = (np.arange(gt, dtype=np.float64)
+                       * float(second_per_grids[vid_i]) * pps)
+            video_pos = vision_seg(st_idx, t_index, gh, gw)
+            vi = ai = 0
+            merged = []
+            while vi < video_pos.shape[1] and ai < audio_pos.shape[1]:
+                if video_pos[0, vi] <= audio_pos[0, ai]:
+                    merged.append(video_pos[:, vi:vi + 1])
+                    vi += 1
+                else:
+                    merged.append(audio_pos[:, ai:ai + 1])
+                    ai += 1
+            if vi < video_pos.shape[1]:
+                merged.append(video_pos[:, vi:])
+            if ai < audio_pos.shape[1]:
+                merged.append(audio_pos[:, ai:])
+            segs.append(np.concatenate(merged, axis=1))
+            vlen = gt * (gh // merge) * (gw // merge)
+            st += text_len + bos_len + alen + vlen + eos_len
+            aud_i += 1
+            vid_i += 1
+            remain_v -= 1
+            remain_a -= 1
+        segs.append(text_seg(eos_len, cur_max() + 1))
+
+    if st < L:
+        segs.append(text_seg(L - st, cur_max() + 1))
+
+    pos = np.concatenate(segs, axis=1).astype(np.float32)
+    assert pos.shape[1] == L, f"positions {pos.shape[1]} != seq {L}"
+    delta = int(pos.max()) + 1 - L
+    return pos, delta

@@ -39,23 +39,43 @@ def _rotate_half(x: jax.Array) -> jax.Array:
 def apply_rope(
     q: jax.Array,  # [T, Hq, D]
     k: jax.Array,  # [T, Hk, D]
-    positions: jax.Array,  # [T] int32 or [3, T] for mrope
+    positions: jax.Array,  # [T] int32 or [3, T] for mrope (may be float)
     cos_table: jax.Array,  # [max_pos, D//2]
     sin_table: jax.Array,
     mrope_section: Optional[Sequence[int]] = None,
+    interleaved: bool = False,
+    theta: float = 10000.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Rotate q/k by position-gathered cos/sin (rotate-half convention,
     matching HF Qwen2/Qwen3)."""
     if positions.ndim == 1:
-        cos = cos_table[positions]  # [T, D//2]
-        sin = sin_table[positions]
+        cos = cos_table[positions.astype(jnp.int32)]  # [T, D//2]
+        sin = sin_table[positions.astype(jnp.int32)]
+    elif interleaved:
+        # Qwen3-Omni interleaved M-RoPE: per-axis angles, with the H/W
+        # axes overwriting the T angles at strided frequency indices
+        # [THW THW ... TT] (HF apply_interleaved_mrope). Positions may be
+        # fractional (video time grids), so angles are computed directly.
+        assert mrope_section is not None
+        D2 = cos_table.shape[-1]
+        inv_freq = 1.0 / (
+            theta ** (jnp.arange(0, 2 * D2, 2, dtype=jnp.float32) / (2 * D2))
+        )
+        freqs = positions.astype(jnp.float32)[:, :, None] * inv_freq[None, None, :]
+        freqs_t = freqs[0]
+        for axis, offset in ((1, 1), (2, 2)):
+            idx = jnp.arange(offset, mrope_section[axis] * 3, 3)
+            freqs_t = freqs_t.at[:, idx].set(freqs[axis][:, idx])
+        cos = jnp.cos(freqs_t)
+        sin = jnp.sin(freqs_t)
     else:
         # M-RoPE: positions [3, T]; rotary dims split into mrope_section
         # chunks fed by the t/h/w position streams respectively
         # (reference mrope.py:415-587 semantics).
         assert mrope_section is not None, "mrope positions need mrope_section"
-        cos3 = cos_table[positions]  # [3, T, D//2]
-        sin3 = sin_table[positions]
+        pos_i = positions.astype(jnp.int32)
+        cos3 = cos_table[pos_i]  # [3, T, D//2]
+        sin3 = sin_table[pos_i]
         parts_c, parts_s = [], []
         start = 0
         for i, sec in enumerate(mrope_section):
