@@ -1,4 +1,6 @@
-from vllm_omni_tpu.entrypoints.cli import main
 import sys
 
-sys.exit(main())
+from vllm_omni_tpu.entrypoints.cli import main
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,75 @@
+"""One-shot stage engine for Qwen3-Omni code2wav.
+
+Parity role: the reference's code2wav stage (GPUGenerationModelRunner +
+OmniGenerationScheduler, fed by talker2code2wav's flattened [n_q, seq]
+RVQ codes; reference stage_input_processors/qwen3_omni.py:124-183)."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vllm_omni_tpu.models.qwen3_omni.code2wav import Qwen3OmniMoeCode2Wav
+from vllm_omni_tpu.outputs import CompletionOutput, RequestOutput
+
+
+class Code2WavEngine:
+    def __init__(
+        self,
+        hf_config: dict[str, Any],
+        load_weights: bool = True,
+        model_path: str = "",
+        params: Optional[dict] = None,
+        chunked: bool = True,
+        chunk_size: int = 300,
+        left_context: int = 25,
+        dtype=jnp.float32,
+    ):
+        sub = hf_config.get("code2wav_config", hf_config)
+        self.model = Qwen3OmniMoeCode2Wav(sub, dtype=dtype)
+        if params is not None:
+            self.params = params
+        elif load_weights and model_path:
+            from vllm_omni_tpu.models.weight_loader import iter_safetensors
+
+            sd = {
+                k[len("code2wav."):] if k.startswith("code2wav.") else k: v
+                for k, v in iter_safetensors(model_path)
+                if k.startswith("code2wav.") or not k.startswith(
+                    ("thinker.", "talker."))
+            }
+            self.params = self.model.load_from_state_dict(sd)
+        else:
+            self.params = self.model.init_params(jax.random.key(0))
+        self.chunked = chunked
+        self.chunk_size = chunk_size
+        self.left_context = left_context
+
+    def generate(self, prompts, sampling_params) -> list[RequestOutput]:
+        nq = self.model.cfg.num_quantizers
+        outs = []
+        for p in prompts:
+            flat = p["prompt_token_ids"] if isinstance(p, dict) else list(p)
+            if len(flat) % nq:
+                raise ValueError(
+                    f"codes length {len(flat)} not a multiple of "
+                    f"num_quantizers {nq}")
+            codes = jnp.asarray(
+                np.asarray(flat, np.int32).reshape(nq, -1))[None]
+            if self.chunked and codes.shape[-1] > self.chunk_size:
+                wav = self.model.chunked_decode(
+                    self.params, codes, self.chunk_size, self.left_context)
+            else:
+                wav = self.model.forward(self.params, codes)
+            outs.append(RequestOutput(
+                request_id="c2w", prompt=None, prompt_token_ids=list(flat),
+                outputs=[CompletionOutput(
+                    index=0, text="", token_ids=[], finish_reason="stop",
+                    multimodal_output={"waveform": wav})],
+                finished=True,
+            ))
+        return outs

@@ -116,6 +116,17 @@ class OmniStage:
             return Token2WavEngine(
                 mc, load_weights=args.load_format != "random",
                 **self.config.diffusion_args)
+        if self.config.stage_type == "code2wav":
+            from vllm_omni_tpu.models.qwen3_omni.code2wav_engine import (
+                Code2WavEngine,
+            )
+
+            args = self.config.engine_args
+            return Code2WavEngine(
+                hf_config=args.hf_config or {}, model_path=args.model,
+                load_weights=args.load_format != "random",
+                **self.config.diffusion_args,
+            )
         if self.config.stage_type == "diffusion":
             from vllm_omni_tpu.config.diffusion import OmniDiffusionConfig
             from vllm_omni_tpu.diffusion.engine import DiffusionEngine
