@@ -147,9 +147,11 @@ class EngineCore:
                 for src, dst in (
                     ("hidden_tokens", "prompt_hidden"),
                     ("embed_tokens_full", "prompt_embed_tokens"),
+                    ("capture_tokens", "prompt_capture_hidden"),
                 ):
-                    req.multimodal_outputs.setdefault(dst, []).append(
-                        aux[src][start:start + n_prompt])
+                    if src in aux:
+                        req.multimodal_outputs.setdefault(dst, []).append(
+                            aux[src][start:start + n_prompt])
 
     def _process_results(
         self, sched_out, sampled: np.ndarray, aux

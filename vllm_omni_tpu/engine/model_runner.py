@@ -229,10 +229,15 @@ class ModelRunner:
             step_fwd_kwargs = dict(fwd_kwargs)
             if d.get("deepstack_embeds") is not None:
                 step_fwd_kwargs["deepstack_embeds"] = d["deepstack_embeds"]
-            hidden, kv_cache = model.forward(
+            fwd_out = model.forward(
                 params, embeds, kv_cache, meta,
                 attention_backend=backend, tp_axis=tp_axis, **step_fwd_kwargs,
             )
+            captured = None
+            if getattr(model, "capture_layer", None) is not None:
+                hidden, kv_cache, captured = fwd_out
+            else:
+                hidden, kv_cache = fwd_out
             rows_hidden = hidden[d["logits_indices"]]  # [S, H]
             logits = model.compute_logits(
                 params, rows_hidden, tp_axis=tp_axis
@@ -272,6 +277,9 @@ class ModelRunner:
             if getattr(model, "emit_full_hidden", False):
                 aux["hidden_tokens"] = hidden  # [T, H] all tokens
                 aux["embed_tokens_full"] = embeds  # [T, H] input embeds
+                if captured is not None:
+                    # mid-layer tap (talker accept_hidden_layer)
+                    aux["capture_tokens"] = captured  # [T, H]
             if hasattr(model, "aux_outputs"):
                 aux.update(model.aux_outputs(params, rows_hidden, sampled))
             return sampled, kv_cache, state, prev_sampled, aux
@@ -301,6 +309,8 @@ class ModelRunner:
         if getattr(self.model, "emit_full_hidden", False):
             aux_spec["hidden_tokens"] = rep
             aux_spec["embed_tokens_full"] = rep
+            if getattr(self.model, "capture_layer", None) is not None:
+                aux_spec["capture_tokens"] = rep
         aux_spec.update(getattr(self.model, "aux_out_specs", {}))
         sharded = jax.shard_map(
             step,

@@ -33,6 +33,10 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
         self.moe_I = int(config.get("moe_intermediate_size", self.I))
         self.norm_topk_prob = bool(config.get("norm_topk_prob", True))
         self.moe_impl = "auto"
+        # when set, forward() additionally returns the hidden states
+        # entering layer `capture_layer` (HF output_hidden_states[k]
+        # semantics) — the talker's accept_hidden_layer tap
+        self.capture_layer: Optional[int] = None
 
     # ------------------------------------------------------------- params
     def init_params(self, rng: jax.Array) -> dict[str, Any]:
@@ -95,9 +99,11 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
         else:
             ds = jnp.zeros((self.L, 1, 1), hidden.dtype)
 
+        cap_idx = self.capture_layer
+
         def layer(carry, xs):
-            h = carry
-            p, k_c, v_c, ds_l = xs
+            h, cap = carry if cap_idx is not None else (carry, None)
+            p, k_c, v_c, ds_l, li = xs
             res = h
             h_n = rms_norm(h, p["input_layernorm"], self.eps)
             q = linear(h_n, p["q_proj"]).reshape(T, -1, self.D)
@@ -140,10 +146,20 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
             h = res + moe_out
             if deepstack_embeds is not None:
                 h = h + ds_l
+            if cap_idx is not None:
+                # HF hidden_states[cap_idx] = input to layer cap_idx =
+                # output of layer cap_idx-1 (incl. its deepstack add)
+                cap = jnp.where(li == cap_idx - 1, h, cap)
+                return (h, cap), (k_c, v_c)
             return h, (k_c, v_c)
 
-        hidden, (new_k, new_v) = jax.lax.scan(
-            layer, hidden, (lp, kv_cache["k"], kv_cache["v"], ds)
-        )
+        xs = (lp, kv_cache["k"], kv_cache["v"], ds, jnp.arange(self.L))
+        if cap_idx is not None:
+            cap0 = hidden if cap_idx == 0 else jnp.zeros_like(hidden)
+            (hidden, captured), (new_k, new_v) = jax.lax.scan(
+                layer, (hidden, cap0), xs)
+            hidden = rms_norm(hidden, params["norm"], self.eps)
+            return hidden, {"k": new_k, "v": new_v}, captured
+        hidden, (new_k, new_v) = jax.lax.scan(layer, hidden, xs)
         hidden = rms_norm(hidden, params["norm"], self.eps)
         return hidden, {"k": new_k, "v": new_v}

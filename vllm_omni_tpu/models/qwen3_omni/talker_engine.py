@@ -1,0 +1,225 @@
+"""One-shot stage engine for the Qwen3-Omni talker.
+
+Parity role: the reference serves the talker as an AR stage
+(stage_configs/qwen3_omni_moe.yaml stage 1) whose HF semantics are
+`Qwen3OmniMoeTalkerForConditionalGeneration.generate`: sample a
+codebook-0 token per frame, expand it to a full RVQ frame with the MTP
+code predictor, and feed the summed codec/trailing-text embedding back
+as the next step's input (transformers modeling_qwen3_omni_moe.py,
+`prepare_inputs_for_generation`).
+
+TPU design: one jitted bucketed prefill + ONE jitted decode step that
+fuses the predictor rollout, frame-embedding composition, suppression,
+repetition penalty and sampling; the only per-frame host sync is the
+EOS check (frame codes + next token fetched together).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vllm_omni_tpu.models.qwen3_omni.talker import Qwen3OmniTalker
+from vllm_omni_tpu.ops.sampling import sample
+from vllm_omni_tpu.outputs import CompletionOutput, RequestOutput
+
+_PREFILL_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def _bucket(n: int) -> int:
+    for b in _PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 1023) // 1024) * 1024
+
+
+class TalkerEngine:
+    def __init__(
+        self,
+        hf_config: dict[str, Any],
+        load_weights: bool = True,
+        model_path: str = "",
+        params: Optional[dict] = None,
+        dtype=jnp.float32,
+        max_len: int = 8192,
+        predictor_greedy: bool = False,
+        suppress_special: bool = True,
+        seed: int = 0,
+    ):
+        talker_cfg = hf_config.get("talker_config", hf_config)
+        self.cfg = talker_cfg
+        self.model = Qwen3OmniTalker(talker_cfg, dtype=dtype)
+        self.eos_id = int(talker_cfg.get("codec_eos_token_id", 4198))
+        self.max_len = max_len
+        self.predictor_greedy = predictor_greedy
+        self.seed = seed
+        if params is not None:
+            self.params = params
+        elif load_weights and model_path:
+            from vllm_omni_tpu.models.weight_loader import iter_safetensors
+
+            sd = {k[len("talker."):]: v for k, v in
+                  iter_safetensors(model_path) if k.startswith("talker.")}
+            self.params = self.model.load_from_state_dict(sd)
+        else:
+            self.params = self.model.init_params(jax.random.key(seed))
+        # suppress the special-token tail of the codec vocab except EOS
+        # (HF generate: talker_supppressed_tokens)
+        V = self.model.V
+        mask = np.zeros((V,), bool)
+        if suppress_special:
+            mask[max(0, V - 1024):] = True
+            if 0 <= self.eos_id < V:
+                mask[self.eos_id] = False
+        self.suppress_mask = jnp.asarray(mask)
+        self._prefill_fns: dict[int, Any] = {}
+        self._decode_fn = None
+
+    # ---------------------------------------------------- processor helpers
+    def project_text(self, x) -> jax.Array:
+        return self.model.project(self.params, "text_projection",
+                                  jnp.asarray(x))
+
+    def project_hidden(self, x) -> jax.Array:
+        return self.model.project(self.params, "hidden_projection",
+                                  jnp.asarray(x))
+
+    def embed_codec(self, ids) -> jax.Array:
+        return self.model.embed_codec(
+            self.params, jnp.asarray(np.asarray(ids, np.int32)))
+
+    # ------------------------------------------------------------ programs
+    def _prefill(self, P: int):
+        if P not in self._prefill_fns:
+            model = self.model
+
+            def fn(params, embeds, positions, kv, valid_len, counts,
+                   temp, top_p, top_k, rp, sseed, suppress):
+                hidden, kv = model.forward(
+                    params, embeds, positions, kv, jnp.int32(0))
+                last = hidden[valid_len - 1]
+                logits = model.logits(params, last)
+                code, counts = self._sample(
+                    params, logits, counts, temp, top_p, top_k, rp,
+                    sseed, jnp.int32(0), suppress)
+                return code, last, kv, counts
+
+            self._prefill_fns[P] = jax.jit(fn, donate_argnums=(3,))
+        return self._prefill_fns[P]
+
+    def _sample(self, params, logits, counts, temp, top_p, top_k, rp,
+                sseed, step, suppress):
+        # HF RepetitionPenaltyLogitsProcessor over previously sampled codes
+        pen = jnp.where(logits > 0, logits / rp, logits * rp)
+        logits = jnp.where(counts > 0, pen, logits)
+        logits = jnp.where(suppress, -jnp.inf, logits)
+        code = sample(
+            logits[None], temp[None], top_p[None],
+            top_k[None].astype(jnp.int32), jnp.zeros((1,), jnp.float32),
+            sseed[None].astype(jnp.uint32), step[None],
+        )[0]
+        counts = counts.at[code].add(1)
+        return code, counts
+
+    def _decode(self):
+        if self._decode_fn is None:
+            model = self.model
+
+            def fn(params, kv, cache_len, prev_code, past_hidden,
+                   trail_embed, position, counts, temp, top_p, top_k, rp,
+                   sseed, step, suppress):
+                last_id_hidden = model.embed_codec(params, prev_code)
+                codes, extra = model.predictor.rollout(
+                    params["code_predictor"], past_hidden, last_id_hidden,
+                    greedy=self.predictor_greedy,
+                    seed=(sseed.astype(jnp.uint32)
+                          + step.astype(jnp.uint32) * jnp.uint32(7919)))
+                inputs = (last_id_hidden + extra
+                          + trail_embed.astype(last_id_hidden.dtype))[None]
+                pos3 = jnp.broadcast_to(
+                    position.astype(jnp.float32), (3, 1))
+                hidden, kv = model.forward(
+                    params, inputs, pos3, kv, cache_len)
+                logits = model.logits(params, hidden[-1])
+                next_code, counts = self._sample(
+                    params, logits, counts, temp, top_p, top_k, rp,
+                    sseed, step, suppress)
+                frame = jnp.concatenate([prev_code[None], codes])
+                return frame, next_code, hidden[-1], kv, counts
+
+            self._decode_fn = jax.jit(fn, donate_argnums=(1,))
+        return self._decode_fn
+
+    # ------------------------------------------------------------ generate
+    def generate(self, prompts, sampling_params) -> list[RequestOutput]:
+        if not isinstance(sampling_params, (list, tuple)):
+            sampling_params = [sampling_params] * len(prompts)
+        return [self._generate_one(p, sp)
+                for p, sp in zip(prompts, sampling_params)]
+
+    def _generate_one(self, prompt: dict[str, Any], sp) -> RequestOutput:
+        model = self.model
+        embeds = np.asarray(prompt["inputs_embeds"], np.float32)
+        T = embeds.shape[0]
+        positions = np.asarray(prompt["mrope_positions"], np.float32)
+        delta = float(prompt.get("mrope_delta", 0))
+        trailing = np.asarray(prompt["trailing_text_hidden"], np.float32)
+        tts_pad = np.asarray(prompt["tts_pad_embed"], np.float32)
+        max_frames = int(getattr(sp, "max_tokens", None) or 2048)
+
+        temp = jnp.float32(getattr(sp, "temperature", 0.9))
+        top_p = jnp.float32(getattr(sp, "top_p", 1.0) or 1.0)
+        top_k = jnp.int32(getattr(sp, "top_k", 50) or 50)
+        rp = jnp.float32(getattr(sp, "repetition_penalty", 1.05) or 1.0)
+        sseed = jnp.uint32(getattr(sp, "seed", None) or self.seed)
+
+        P = _bucket(T)
+        pad_e = np.zeros((P, embeds.shape[1]), np.float32)
+        pad_e[:T] = embeds
+        pad_p = np.zeros((3, P), np.float32)
+        pad_p[:, :T] = positions
+        # pad positions monotonically so rope stays in-range
+        pad_p[:, T:] = positions[:, -1:] + np.arange(1, P - T + 1)[None]
+
+        kv = model.init_cache(self.max_len)
+        counts = jnp.zeros((model.V,), jnp.int32)
+        code, hidden, kv, counts = self._prefill(P)(
+            self.params, jnp.asarray(pad_e, model.dtype), jnp.asarray(pad_p),
+            kv, jnp.int32(T), counts, temp, top_p, top_k, rp, sseed,
+            self.suppress_mask)
+
+        frames: list[np.ndarray] = []
+        decode = self._decode()
+        code_host = int(jax.device_get(code))
+        cache_len = T
+        step = 0
+        while code_host != self.eos_id and step < max_frames:
+            trail = trailing[step] if step < trailing.shape[0] else tts_pad
+            frame, code, hidden, kv, counts = decode(
+                self.params, kv, jnp.int32(cache_len), code, hidden,
+                jnp.asarray(trail), jnp.float32(cache_len + delta), counts,
+                temp, top_p, top_k, rp, sseed, jnp.int32(step + 1),
+                self.suppress_mask)
+            frame_host, code_host = jax.device_get((frame, code))
+            frames.append(np.asarray(frame_host, np.int32))
+            code_host = int(code_host)
+            cache_len += 1
+            step += 1
+            if cache_len >= self.max_len:
+                break
+
+        codes = (np.stack(frames, axis=1) if frames
+                 else np.zeros((model.NQ, 0), np.int32))  # [NQ, n_frames]
+        return RequestOutput(
+            request_id=str(prompt.get("request_id", "talker")), prompt=None,
+            prompt_token_ids=[],
+            outputs=[CompletionOutput(
+                index=0, text="", token_ids=[int(c) for c in codes[0]],
+                finish_reason="stop" if code_host == self.eos_id else "length",
+                multimodal_output={"codes": codes})],
+            finished=True,
+        )

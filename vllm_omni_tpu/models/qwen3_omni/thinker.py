@@ -61,6 +61,15 @@ class Qwen3OmniMoeThinkerForConditionalGeneration:
         self.visual = Qwen3VisionEncoder(self.vision_cfg, dtype=config.dtype)
         self.mrope_section = self.text.mrope_section
         self.emit_full_hidden = config.engine_output_type == "latent"
+        # talker taps thinker hidden states at accept_hidden_layer for
+        # multimodal positions (HF Qwen3OmniMoeForConditionalGeneration.
+        # generate: thinker_hidden); reachable via the parent omni config
+        parent = hf.get("_parent_config") or {}
+        accept = hf.get(
+            "accept_hidden_layer",
+            parent.get("talker_config", {}).get("accept_hidden_layer"))
+        if self.emit_full_hidden and accept is not None:
+            self.text.capture_layer = int(accept)
         self.mrope_params = MRopeParams(
             tokens=MRopeTokenIds(
                 image_token_id=int(hf.get("image_token_id", 151655)),
@@ -93,6 +102,10 @@ class Qwen3OmniMoeThinkerForConditionalGeneration:
 
     def embed_tokens(self, params, token_ids):
         return self.text.embed_tokens(params["text"], token_ids)
+
+    @property
+    def capture_layer(self):
+        return self.text.capture_layer
 
     def forward(self, params, hidden, kv_cache, meta, **kw):
         return self.text.forward(params["text"], hidden, kv_cache, meta, **kw)
