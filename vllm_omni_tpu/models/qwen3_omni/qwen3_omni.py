@@ -27,7 +27,16 @@ def Qwen3OmniMoeForConditionalGeneration(config: ModelConfig):
                 model_stage=stage,
             )
         return Qwen3OmniMoeThinkerForConditionalGeneration(config)
-    raise NotImplementedError(
-        f"Qwen3-Omni stage {stage!r} lands next round (talker MTP code "
-        "predictor + code2wav ConvNet)"
-    )
+    if stage == "talker":
+        from vllm_omni_tpu.models.qwen3_omni.talker import Qwen3OmniTalker
+
+        return Qwen3OmniTalker(hf.get("talker_config", hf),
+                               dtype=config.dtype)
+    if stage == "code2wav":
+        from vllm_omni_tpu.models.qwen3_omni.code2wav import (
+            Qwen3OmniMoeCode2Wav,
+        )
+
+        return Qwen3OmniMoeCode2Wav(hf.get("code2wav_config", hf),
+                                    dtype=config.dtype)
+    raise ValueError(f"unknown Qwen3-Omni stage {stage!r}")

@@ -116,9 +116,18 @@ class Qwen3OmniMoeThinkerForConditionalGeneration:
     def finalize_multimodal(
         self, params, additional_information: dict[str, Any]
     ) -> dict[str, Any]:
+        # tts special ids default from the parent omni config (HF
+        # generate embeds tts_{bos,eos,pad}_token_id via the thinker
+        # embedding table before projecting them for the talker)
+        parent = self.config.hf_config.get("_parent_config") or {}
+        defaults = {
+            "tts_bos_id": parent.get("tts_bos_token_id"),
+            "tts_eos_id": parent.get("tts_eos_token_id"),
+            "tts_pad_id": parent.get("tts_pad_token_id"),
+        }
         out: dict[str, Any] = {}
         for key in ("tts_bos_id", "tts_eos_id", "tts_pad_id"):
-            tok = additional_information.get(key)
+            tok = additional_information.get(key, defaults.get(key))
             if tok is not None:
                 out[key.replace("_id", "_embed")] = self.text.embed_tokens(
                     params["text"], jnp.asarray([int(tok)]))[0]

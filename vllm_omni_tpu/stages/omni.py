@@ -197,7 +197,20 @@ class Omni:
             if not all(s in st.stage_outputs for s in needed):
                 continue
             upstream = {s: st.stage_outputs[s] for s in needed}
-            next_input = nxt.process_engine_inputs(upstream, st.prompt)
+            try:
+                next_input = nxt.process_engine_inputs(upstream, st.prompt)
+            except Exception as e:
+                # input-processor failures surface as per-request errors
+                # (reference omni_stage.py:822-833), never crash the loop
+                import traceback
+
+                logger.error(
+                    "input processor for stage %d failed on request %s: %s",
+                    nxt_id, st.request_id, e)
+                st.error = (
+                    f"stage {nxt_id} input processor: {e}\n"
+                    f"{traceback.format_exc()}")
+                return
             nxt.submit(StageTask(st.request_id, next_input, sps.get(nxt_id)))
 
     def _normalize_sampling(

@@ -116,6 +116,20 @@ class OmniStage:
             return Token2WavEngine(
                 mc, load_weights=args.load_format != "random",
                 **self.config.diffusion_args)
+        if self.config.stage_type == "talker":
+            from vllm_omni_tpu.models.qwen3_omni.talker_engine import (
+                TalkerEngine,
+            )
+
+            args = self.config.engine_args
+            accepted = ("dtype", "max_len", "predictor_greedy",
+                        "suppress_special", "seed")
+            kw = {k: v for k, v in self.config.diffusion_args.items()
+                  if k in accepted}
+            return TalkerEngine(
+                hf_config=args.hf_config or {}, model_path=args.model,
+                load_weights=args.load_format != "random", **kw,
+            )
         if self.config.stage_type == "code2wav":
             from vllm_omni_tpu.models.qwen3_omni.code2wav_engine import (
                 Code2WavEngine,
