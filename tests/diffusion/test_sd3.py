@@ -1,0 +1,339 @@
+"""SD3 MMDiT + KL VAE + pipeline: structural tests and loader mapping.
+
+No diffusers oracle exists in this environment; these tests pin the
+structural contracts (shapes, patchify round-trip, CFG math, scheduler
+static shift, dual-attention prefix handling) and exercise the diffusers
+weight-name mapping from a synthesized checkpoint."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vllm_omni_tpu.config.diffusion import OmniDiffusionConfig
+from vllm_omni_tpu.diffusion import scheduling
+from vllm_omni_tpu.diffusion.models.common.autoencoder_kl import (
+    AutoencoderKL,
+    AutoencoderKLConfig,
+)
+from vllm_omni_tpu.diffusion.models.sd3.pipeline import (
+    StableDiffusion3Pipeline,
+)
+from vllm_omni_tpu.diffusion.models.sd3.transformer import (
+    SD3Transformer2DModel,
+    SD3TransformerConfig,
+    sincos_pos_embed_2d,
+)
+from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
+
+TF_CFG = SD3TransformerConfig(
+    sample_size=16, patch_size=2, in_channels=4, out_channels=4,
+    num_layers=4, attention_head_dim=8, num_attention_heads=4,
+    joint_attention_dim=24, caption_projection_dim=32,
+    pooled_projection_dim=20, pos_embed_max_size=16,
+    dual_attention_layers=(0, 1), qk_norm="rms_norm",
+)
+VAE_CFG = AutoencoderKLConfig(
+    latent_channels=4, block_out_channels=(8, 16), layers_per_block=1,
+    norm_num_groups=4, scaling_factor=1.5, shift_factor=0.06,
+)
+
+
+@pytest.fixture(scope="module")
+def tf_pair():
+    model = SD3Transformer2DModel(TF_CFG, jnp.float32)
+    params = model.init_params(jax.random.key(0))
+    return model, params
+
+
+def test_transformer_shapes_and_finite(tf_pair):
+    model, params = tf_pair
+    B, Hpx, Wpx = 2, 8, 12
+    lat = jax.random.normal(jax.random.key(1), (B, 4, Hpx, Wpx))
+    txt = jax.random.normal(jax.random.key(2), (B, 5, 24))
+    pooled = jax.random.normal(jax.random.key(3), (B, 20))
+    t = jnp.asarray([500.0, 10.0])
+    out = model.forward(params, lat, txt, pooled, t)
+    assert out.shape == (B, 4, Hpx, Wpx)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_timestep_conditions_output(tf_pair):
+    model, params = tf_pair
+    lat = jax.random.normal(jax.random.key(1), (1, 4, 8, 8))
+    txt = jax.random.normal(jax.random.key(2), (1, 3, 24))
+    pooled = jnp.zeros((1, 20))
+    o1 = model.forward(params, lat, txt, pooled, jnp.asarray([1000.0]))
+    o2 = model.forward(params, lat, txt, pooled, jnp.asarray([1.0]))
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-6
+
+
+def test_pos_embed_crop_center():
+    pos = sincos_pos_embed_2d(8, 16, 16)
+    model = SD3Transformer2DModel(TF_CFG, jnp.float32)
+    crop = model._crop_pos_embed(jnp.asarray(pos), 4, 6)
+    # center crop: rows 6..10, cols 5..11
+    grid = pos.reshape(16, 16, 8)
+    np.testing.assert_allclose(
+        np.asarray(crop).reshape(4, 6, 8), grid[6:10, 5:11])
+
+
+def test_scheduler_static_shift():
+    sched = scheduling.set_timesteps(4, shift=3.0)
+    sig = np.linspace(1.0, 0.25, 4)
+    expect = 3.0 * sig / (1.0 + 2.0 * sig)
+    np.testing.assert_allclose(np.asarray(sched.sigmas[:-1]), expect,
+                               rtol=1e-6)
+    assert float(sched.sigmas[-1]) == 0.0
+
+
+def test_vae_roundtrip_shapes():
+    vae = AutoencoderKL(VAE_CFG, jnp.float32)
+    params = vae.init_params(jax.random.key(0))
+    img = jax.random.normal(jax.random.key(1), (1, 3, 16, 16))
+    moments = vae.encode(params, img)
+    assert moments.shape == (1, 8, 8, 8)  # one 2x downsample, 2*latent
+    z = vae.encode_mode(params, img)
+    out = vae.decode(params, z)
+    assert out.shape == (1, 3, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def _pipeline(**req_kw):
+    od = OmniDiffusionConfig(
+        model="", dtype=jnp.float32, default_height=16, default_width=16)
+    pipe = StableDiffusion3Pipeline(
+        od, transformer_config=TF_CFG, vae_config=VAE_CFG,
+        load_weights=False)
+    rng = np.random.default_rng(0)
+    req_kw.setdefault("output_type", "np")
+    req = OmniDiffusionRequest(
+        request_id="r0", prompt="x",
+        prompt_embeds=rng.normal(size=(1, 4, 24)).astype(np.float32),
+        pooled_prompt_embeds=rng.normal(size=(1, 20)).astype(np.float32),
+        num_inference_steps=2, **req_kw)
+    return pipe, req
+
+
+def test_pipeline_e2e_no_cfg():
+    pipe, req = _pipeline(guidance_scale=1.0)
+    img, metrics = pipe.forward(req)
+    assert img.shape == (1, 3, 16, 16)
+    assert metrics.num_steps == 2
+
+
+def test_pipeline_cfg_matches_manual():
+    """Batched CFG == two separate forwards combined."""
+    rng = np.random.default_rng(1)
+    neg = rng.normal(size=(1, 4, 24)).astype(np.float32)
+    neg_pool = rng.normal(size=(1, 20)).astype(np.float32)
+    pipe, req = _pipeline(
+        guidance_scale=3.0, output_type="latent",
+        negative_prompt_embeds=neg, negative_pooled_prompt_embeds=neg_pool,
+        seed=7)
+    lat, _ = pipe.forward(req)
+
+    # manual: replicate the same schedule with explicit two-pass CFG
+    c = pipe.transformer.cfg
+    latents = jax.random.normal(
+        jax.random.key(7), (1, c.in_channels, 8, 8), jnp.float32)
+    sched = scheduling.set_timesteps(2, shift=3.0)
+    txt = jnp.asarray(req.prompt_embeds)
+    pool = jnp.asarray(req.pooled_prompt_embeds)
+    for i in range(2):
+        t = jnp.full((1,), sched.timesteps[i], jnp.float32)
+        pos = pipe.transformer.forward(
+            pipe.params["transformer"], latents, txt, pool, t)
+        negp = pipe.transformer.forward(
+            pipe.params["transformer"], latents, jnp.asarray(neg),
+            jnp.asarray(neg_pool), t)
+        vel = negp + 3.0 * (pos - negp)
+        latents = scheduling.step(latents, vel, sched.sigmas[i],
+                                  sched.sigmas[i + 1])
+    np.testing.assert_allclose(
+        np.asarray(lat), np.asarray(latents), atol=1e-5, rtol=1e-5)
+
+
+def test_loader_mapping(tmp_path):
+    """Synthesize a diffusers-named SD3 checkpoint; loaded params must
+    reproduce the same forward as a manually-built tree."""
+    import torch
+    from safetensors.torch import save_file
+
+    c = TF_CFG
+    dim = c.inner_dim
+    hd = c.attention_head_dim
+    g = torch.Generator().manual_seed(0)
+
+    def W(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    sd = {
+        "pos_embed.proj.weight": W(dim, c.in_channels, 2, 2),
+        "pos_embed.proj.bias": W(dim),
+        "pos_embed.pos_embed": torch.tensor(
+            sincos_pos_embed_2d(dim, c.pos_embed_max_size,
+                                c.pos_embed_max_size)[None],
+            dtype=torch.float32),
+        "time_text_embed.timestep_embedder.linear_1.weight": W(dim, 256),
+        "time_text_embed.timestep_embedder.linear_1.bias": W(dim),
+        "time_text_embed.timestep_embedder.linear_2.weight": W(dim, dim),
+        "time_text_embed.timestep_embedder.linear_2.bias": W(dim),
+        "time_text_embed.text_embedder.linear_1.weight": W(
+            dim, c.pooled_projection_dim),
+        "time_text_embed.text_embedder.linear_1.bias": W(dim),
+        "time_text_embed.text_embedder.linear_2.weight": W(dim, dim),
+        "time_text_embed.text_embedder.linear_2.bias": W(dim),
+        "context_embedder.weight": W(c.caption_projection_dim,
+                                     c.joint_attention_dim),
+        "context_embedder.bias": W(c.caption_projection_dim),
+        "norm_out.linear.weight": W(2 * dim, dim),
+        "norm_out.linear.bias": W(2 * dim),
+        "proj_out.weight": W(4 * c.out_channels, dim),
+        "proj_out.bias": W(4 * c.out_channels),
+    }
+    for i in range(c.num_layers):
+        last = i == c.num_layers - 1
+        dual = i in c.dual_attention_layers
+        pre = f"transformer_blocks.{i}"
+        sd[f"{pre}.norm1.linear.weight"] = W((9 if dual else 6) * dim, dim)
+        sd[f"{pre}.norm1.linear.bias"] = W((9 if dual else 6) * dim)
+        sd[f"{pre}.norm1_context.linear.weight"] = W(
+            (2 if last else 6) * dim, dim)
+        sd[f"{pre}.norm1_context.linear.bias"] = W((2 if last else 6) * dim)
+        for n in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                  "add_v_proj", "to_out.0"):
+            sd[f"{pre}.attn.{n}.weight"] = W(dim, dim)
+            sd[f"{pre}.attn.{n}.bias"] = W(dim)
+        for n in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            sd[f"{pre}.attn.{n}.weight"] = W(hd)
+        sd[f"{pre}.ff.net.0.proj.weight"] = W(4 * dim, dim)
+        sd[f"{pre}.ff.net.0.proj.bias"] = W(4 * dim)
+        sd[f"{pre}.ff.net.2.weight"] = W(dim, 4 * dim)
+        sd[f"{pre}.ff.net.2.bias"] = W(dim)
+        if not last:
+            sd[f"{pre}.attn.to_add_out.weight"] = W(dim, dim)
+            sd[f"{pre}.attn.to_add_out.bias"] = W(dim)
+            sd[f"{pre}.ff_context.net.0.proj.weight"] = W(4 * dim, dim)
+            sd[f"{pre}.ff_context.net.0.proj.bias"] = W(4 * dim)
+            sd[f"{pre}.ff_context.net.2.weight"] = W(dim, 4 * dim)
+            sd[f"{pre}.ff_context.net.2.bias"] = W(dim)
+        if dual:
+            for n in ("to_q", "to_k", "to_v", "to_out.0"):
+                sd[f"{pre}.attn2.{n}.weight"] = W(dim, dim)
+                sd[f"{pre}.attn2.{n}.bias"] = W(dim)
+            for n in ("norm_q", "norm_k"):
+                sd[f"{pre}.attn2.{n}.weight"] = W(hd)
+    tdir = tmp_path / "transformer"
+    tdir.mkdir()
+    save_file(sd, str(tdir / "diffusion_pytorch_model.safetensors"))
+
+    model = SD3Transformer2DModel(c, jnp.float32)
+    params = model.load_weights(str(tmp_path))
+
+    # patch-proj equivalence: conv patchify == our linear on a probe
+    lat = jax.random.normal(jax.random.key(5), (1, c.in_channels, 4, 4))
+    with torch.no_grad():
+        ref_patch = torch.nn.functional.conv2d(
+            torch.tensor(np.asarray(lat)), sd["pos_embed.proj.weight"],
+            sd["pos_embed.proj.bias"], stride=2)
+    ref_tokens = ref_patch.flatten(2).transpose(1, 2).numpy()
+    x = np.asarray(lat).reshape(1, c.in_channels, 2, 2, 2, 2)
+    x = x.transpose(0, 2, 4, 3, 5, 1).reshape(1, 4, 4 * c.in_channels)
+    ours = np.asarray(
+        x @ np.asarray(params["patch_proj"]["w"])
+        + np.asarray(params["patch_proj"]["b"]))
+    np.testing.assert_allclose(ours, ref_tokens, atol=1e-5, rtol=1e-5)
+
+    # full forward finite with loaded params
+    txt = jax.random.normal(jax.random.key(6), (1, 3, c.joint_attention_dim))
+    pooled = jax.random.normal(jax.random.key(7),
+                               (1, c.pooled_projection_dim))
+    out = model.forward(params, lat, txt, pooled, jnp.asarray([500.0]))
+    assert out.shape == (1, c.out_channels, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vae_loader_mapping(tmp_path):
+    import torch
+    from safetensors.torch import save_file
+
+    vae = AutoencoderKL(VAE_CFG, jnp.float32)
+    ref = vae.init_params(jax.random.key(3))
+    g = torch.Generator().manual_seed(1)
+
+    def W(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    ch = list(VAE_CFG.block_out_channels)
+    sd = {}
+
+    def resnet(prefix, cin, cout):
+        sd[f"{prefix}.norm1.weight"] = W(cin)
+        sd[f"{prefix}.norm1.bias"] = W(cin)
+        sd[f"{prefix}.conv1.weight"] = W(cout, cin, 3, 3)
+        sd[f"{prefix}.conv1.bias"] = W(cout)
+        sd[f"{prefix}.norm2.weight"] = W(cout)
+        sd[f"{prefix}.norm2.bias"] = W(cout)
+        sd[f"{prefix}.conv2.weight"] = W(cout, cout, 3, 3)
+        sd[f"{prefix}.conv2.bias"] = W(cout)
+        if cin != cout:
+            sd[f"{prefix}.conv_shortcut.weight"] = W(cout, cin, 1, 1)
+            sd[f"{prefix}.conv_shortcut.bias"] = W(cout)
+
+    def attn(prefix, cdim):
+        sd[f"{prefix}.group_norm.weight"] = W(cdim)
+        sd[f"{prefix}.group_norm.bias"] = W(cdim)
+        for n in ("to_q", "to_k", "to_v", "to_out.0"):
+            sd[f"{prefix}.{n}.weight"] = W(cdim, cdim)
+            sd[f"{prefix}.{n}.bias"] = W(cdim)
+
+    lc = VAE_CFG.latent_channels
+    sd["encoder.conv_in.weight"] = W(ch[0], 3, 3, 3)
+    sd["encoder.conv_in.bias"] = W(ch[0])
+    cin = ch[0]
+    for i, cout in enumerate(ch):
+        resnet(f"encoder.down_blocks.{i}.resnets.0", cin, cout)
+        cin = cout
+        if i < len(ch) - 1:
+            sd[f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"] = W(
+                cout, cout, 3, 3)
+            sd[f"encoder.down_blocks.{i}.downsamplers.0.conv.bias"] = W(cout)
+    resnet("encoder.mid_block.resnets.0", ch[-1], ch[-1])
+    attn("encoder.mid_block.attentions.0", ch[-1])
+    resnet("encoder.mid_block.resnets.1", ch[-1], ch[-1])
+    sd["encoder.conv_norm_out.weight"] = W(ch[-1])
+    sd["encoder.conv_norm_out.bias"] = W(ch[-1])
+    sd["encoder.conv_out.weight"] = W(2 * lc, ch[-1], 3, 3)
+    sd["encoder.conv_out.bias"] = W(2 * lc)
+
+    rev = list(reversed(ch))
+    sd["decoder.conv_in.weight"] = W(ch[-1], lc, 3, 3)
+    sd["decoder.conv_in.bias"] = W(ch[-1])
+    resnet("decoder.mid_block.resnets.0", ch[-1], ch[-1])
+    attn("decoder.mid_block.attentions.0", ch[-1])
+    resnet("decoder.mid_block.resnets.1", ch[-1], ch[-1])
+    cin = ch[-1]
+    for i, cout in enumerate(rev):
+        for j in range(VAE_CFG.layers_per_block + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}",
+                   cin if j == 0 else cout, cout)
+            cin = cout
+        if i < len(rev) - 1:
+            sd[f"decoder.up_blocks.{i}.upsamplers.0.conv.weight"] = W(
+                cout, cout, 3, 3)
+            sd[f"decoder.up_blocks.{i}.upsamplers.0.conv.bias"] = W(cout)
+    sd["decoder.conv_norm_out.weight"] = W(ch[0])
+    sd["decoder.conv_norm_out.bias"] = W(ch[0])
+    sd["decoder.conv_out.weight"] = W(3, ch[0], 3, 3)
+    sd["decoder.conv_out.bias"] = W(3)
+
+    params = vae.load_from_state_dict(
+        {k: v.numpy() for k, v in sd.items()})
+    # same tree structure as init
+    assert jax.tree.structure(params) == jax.tree.structure(ref)
+    z = jax.random.normal(jax.random.key(9), (1, lc, 4, 4))
+    out = vae.decode(params, z)
+    assert out.shape == (1, 3, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()

@@ -20,6 +20,9 @@ class OmniDiffusionRequest:
     prompt_embeds_mask: Optional[Any] = None
     negative_prompt_embeds: Optional[Any] = None
     negative_prompt_embeds_mask: Optional[Any] = None
+    # pooled text projections (SD3-family CLIP pooled outputs)
+    pooled_prompt_embeds: Optional[Any] = None
+    negative_pooled_prompt_embeds: Optional[Any] = None
     height: Optional[int] = None
     width: Optional[int] = None
     num_frames: int = 1
