@@ -136,6 +136,42 @@ def upsample2x_spatial(x):
     return x
 
 
+def _conv3d_valid(x, w, b, tstride=1):
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(tstride, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    )
+    return out + b.astype(x.dtype)[None, :, None, None, None]
+
+
+def time_downsample(x, p):
+    """downsample3d time_conv, single-shot equivalent of the reference's
+    chunked feat_cache scheme (QwenImageResample, reference
+    autoencoder_kl_qwenimage.py:161-211): frame 0 passes through, output
+    k>=1 convolves frames (2k-2, 2k-1, 2k) with stride 2."""
+    if x.shape[2] == 1:
+        return x
+    y = _conv3d_valid(x, p["w"], p["b"], tstride=2)
+    return jnp.concatenate([x[:, :, :1], y], axis=2)
+
+
+def time_upsample(x, p):
+    """upsample3d time_conv, single-shot equivalent: frame 0 passes
+    through un-doubled; frames j>=1 convolve (x_{j-2}, x_{j-1}, x_j) with
+    x_0 replaced by zeros (the reference's "Rep" first-chunk padding),
+    producing 2 interleaved frames each -> 2T-1 total."""
+    if x.shape[2] == 1:
+        return x
+    B, C, T, H, W = x.shape
+    tin = jnp.concatenate(
+        [jnp.zeros((B, C, 2, H, W), x.dtype), x[:, :, 1:]], axis=2)
+    y = _conv3d_valid(tin, p["w"], p["b"])  # [B, 2C, T-1, H, W]
+    y = y.reshape(B, 2, C, T - 1, H, W).transpose(0, 2, 3, 1, 4, 5)
+    y = y.reshape(B, C, 2 * (T - 1), H, W)
+    return jnp.concatenate([x[:, :, :1], y], axis=2)
+
+
 def mid_block(x, p):
     x = residual_block(x, p["res0"])
     x = attention_block(x, p["attn"])
@@ -198,6 +234,10 @@ class AutoencoderKLQwenImage:
                              for r in range(c.num_res_blocks)]}
             if i != len(c.dim_mult) - 1:
                 stage["down"] = conv2(do, do, 3)
+                if i < len(c.temperal_downsample) and \
+                        c.temperal_downsample[i]:
+                    # downsample3d time_conv (stride-2 temporal, valid)
+                    stage["time_down"] = conv(do, do, 3, 1, 1)
             enc_blocks.append(stage)
         encoder = {
             "conv_in": conv(c.input_channels, dims[0]),
@@ -208,6 +248,7 @@ class AutoencoderKLQwenImage:
         }
         # decoder
         ddims = [c.base_dim * u for u in (c.dim_mult[-1],) + tuple(c.dim_mult[::-1])]
+        temp_up = tuple(reversed(c.temperal_downsample))
         dec_blocks = []
         for i, (di, do) in enumerate(zip(ddims[:-1], ddims[1:])):
             di_eff = di // 2 if i > 0 else di
@@ -215,6 +256,9 @@ class AutoencoderKLQwenImage:
                              for r in range(c.num_res_blocks + 1)]}
             if i != len(c.dim_mult) - 1:
                 stage["up"] = conv2(do, do // 2, 3)
+                if i < len(temp_up) and temp_up[i]:
+                    # upsample3d time_conv (2x channels -> frame interleave)
+                    stage["time_up"] = conv(do, 2 * do, 3, 1, 1)
             dec_blocks.append(stage)
         decoder = {
             "conv_in": conv(c.z_dim, ddims[0]),
@@ -249,6 +293,8 @@ class AutoencoderKLQwenImage:
                     h2, stage["down"]["w"], stage["down"]["b"],
                     stride=(2, 2), padding=((0, 0), (0, 0)),
                 )
+                if "time_down" in stage:
+                    h = time_downsample(h, stage["time_down"])
         h = mid_block(h, e["mid"])
         h = channel_rms_norm(h, e["norm_out"])
         h = _silu(h)
@@ -270,6 +316,10 @@ class AutoencoderKLQwenImage:
             for rp in stage["res"]:
                 h = residual_block(h, rp)
             if "up" in stage:
+                if "time_up" in stage:
+                    # upsample3d: temporal doubling BEFORE spatial
+                    # (reference QwenImageResample.forward order)
+                    h = time_upsample(h, stage["time_up"])
                 h = upsample2x_spatial(h)
                 h = conv2d_on_frames(h, stage["up"]["w"], stage["up"]["b"])
         h = channel_rms_norm(h, d["norm_out"])

@@ -30,6 +30,7 @@ class OmniDiffusionRequest:
     num_inference_steps: int = 50
     sigmas: Optional[list[float]] = None
     guidance_scale: float = 1.0  # embedded-guidance models
+    guidance_scale_2: Optional[float] = None  # Wan2.2 low-noise expert
     true_cfg_scale: float = 4.0  # classifier-free guidance
     cfg_normalize: bool = True  # norm-rescale after CFG combine
     num_images_per_prompt: int = 1
