@@ -1,0 +1,236 @@
+"""Shared Flux-family t2i pipeline (Ovis-Image, LongCat-Image).
+
+Behavioral parity with the reference OvisImagePipeline /
+LongCatImagePipeline (reference diffusion/models/ovis_image/
+pipeline_ovis_image.py:330-480, longcat_image/pipeline_longcat_image.py):
+2x2-packed latents, flux (0, y, x) image position ids, dynamic mu shift,
+standard CFG `neg + g*(pos - neg)` (batched here), flux KL VAE decode
+with z / scaling_factor + shift_factor.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_omni_tpu.config.diffusion import OmniDiffusionConfig
+from vllm_omni_tpu.diffusion import scheduling
+from vllm_omni_tpu.diffusion.models.common.autoencoder_kl import (
+    AutoencoderKL,
+    AutoencoderKLConfig,
+)
+from vllm_omni_tpu.diffusion.models.common.flux_like import (
+    FluxLikeConfig,
+    FluxLikeTransformer2DModel,
+    flux_image_ids,
+    pack_latents,
+    unpack_latents,
+)
+from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
+from vllm_omni_tpu.outputs import DiffusionMetrics
+
+
+class FluxLikePipeline:
+    ffn_kind = "swiglu"
+    context_norm = True
+    transformer_subdir = "transformer"
+
+    def __init__(
+        self,
+        od_config: OmniDiffusionConfig,
+        transformer_config: Optional[FluxLikeConfig] = None,
+        vae_config: Optional[AutoencoderKLConfig] = None,
+        scheduler_config: Optional[dict[str, Any]] = None,
+        load_weights: bool = True,
+        text_encoder=None,
+        rng_seed: int = 0,
+    ):
+        import json
+        import os
+
+        self.od_config = od_config
+        self.dtype = od_config.dtype
+        tf_cfg = transformer_config or FluxLikeConfig(
+            ffn=self.ffn_kind, context_norm=self.context_norm)
+        v_cfg = vae_config or AutoencoderKLConfig(
+            scaling_factor=0.3611, shift_factor=0.1159)
+        self.scheduler_config = scheduler_config or {}
+        if load_weights and od_config.model:
+            def read(sub, name="config.json"):
+                fp = os.path.join(od_config.model, sub, name)
+                if os.path.isfile(fp):
+                    with open(fp) as f:
+                        return json.load(f)
+                return None
+
+            tc = read(self.transformer_subdir)
+            if tc is not None:
+                tf_cfg = FluxLikeConfig.from_hf(
+                    tc, ffn=self.ffn_kind, context_norm=self.context_norm)
+            vc = read("vae")
+            if vc is not None:
+                v_cfg = AutoencoderKLConfig.from_hf(vc)
+            sc = read("scheduler", "scheduler_config.json")
+            if sc is not None:
+                self.scheduler_config = sc
+        self.transformer = FluxLikeTransformer2DModel(tf_cfg, self.dtype)
+        self.vae = AutoencoderKL(v_cfg, jnp.float32)
+        self.vae_scale_factor = v_cfg.spatial_scale
+        self.text_encoder = text_encoder
+        if load_weights and od_config.model:
+            from vllm_omni_tpu.diffusion.models.sd3.loader import (
+                _read_safetensors,
+            )
+
+            self.params = {
+                "transformer": self.transformer.load_from_state_dict(
+                    _read_safetensors(os.path.join(
+                        od_config.model, self.transformer_subdir))),
+                "vae": self.vae.load_from_state_dict(_read_safetensors(
+                    os.path.join(od_config.model, "vae"))),
+            }
+        else:
+            k1, k2 = jax.random.split(jax.random.key(rng_seed))
+            self.params = {
+                "transformer": self.transformer.init_params(k1),
+                "vae": self.vae.init_params(k2),
+            }
+        self._denoise_step = self._build_denoise_step()
+        self._decode = jax.jit(self.vae.decode)
+        self.cache_backend = None
+
+    def _build_denoise_step(self):
+        transformer = self.transformer
+
+        @partial(jax.jit, static_argnames=("do_cfg", "grid"))
+        def denoise_step(params, latents, txt, t, sigma, sigma_next,
+                         guidance_scale, do_cfg: bool, grid: tuple):
+            import numpy as np
+
+            B = latents.shape[0]
+            img_ids = flux_image_ids(*grid)
+            if do_cfg:
+                lat_in = jnp.concatenate([latents, latents], axis=0)
+                tvec = jnp.full((2 * B,), t, jnp.float32)
+                pred = transformer.forward(params, lat_in, txt, tvec,
+                                           img_ids)
+                pos, neg = pred[:B], pred[B:]
+                velocity = neg + guidance_scale * (pos - neg)
+            else:
+                tvec = jnp.full((B,), t, jnp.float32)
+                velocity = transformer.forward(params, latents, txt, tvec,
+                                               img_ids)
+            return scheduling.step(latents, velocity, sigma, sigma_next)
+
+        return denoise_step
+
+    # ------------------------------------------------------------ forward
+    def forward(self, req: OmniDiffusionRequest):
+        od = self.od_config
+        height = req.height or od.default_height
+        width = req.width or od.default_width
+        s = self.vae_scale_factor * 2
+        if height % s or width % s:
+            raise ValueError(f"height/width must be divisible by {s}")
+        metrics = DiffusionMetrics()
+        t_start = time.perf_counter()
+
+        t0 = time.perf_counter()
+        if req.prompt_embeds is None:
+            if self.text_encoder is None:
+                raise ValueError("no text encoder; pass prompt_embeds")
+            prompts = (req.prompt if isinstance(req.prompt, list)
+                       else [req.prompt])
+            req.prompt_embeds = self.text_encoder(prompts)
+        do_cfg = req.guidance_scale > 1.0
+        if do_cfg and req.negative_prompt_embeds is None:
+            if self.text_encoder is None:
+                do_cfg = False
+            else:
+                negs = (req.negative_prompt
+                        if isinstance(req.negative_prompt, list)
+                        else [req.negative_prompt or ""])
+                req.negative_prompt_embeds = self.text_encoder(negs)
+        metrics.encode_latency = time.perf_counter() - t0
+
+        embeds = jnp.asarray(req.prompt_embeds, self.dtype)
+        B = embeds.shape[0]
+        zc = self.vae.cfg.latent_channels
+        lat_h = height // self.vae_scale_factor
+        lat_w = width // self.vae_scale_factor
+        gh, gw = lat_h // 2, lat_w // 2
+        seed = req.seed if req.seed is not None else 0
+        if req.latents is not None:
+            latents = jnp.asarray(req.latents, self.dtype)
+            if latents.ndim == 4:
+                latents = pack_latents(latents)
+        else:
+            noise = jax.random.normal(
+                jax.random.key(seed), (B, zc, lat_h, lat_w), jnp.float32)
+            latents = pack_latents(noise).astype(self.dtype)
+
+        sc = self.scheduler_config
+        mu = scheduling.calculate_shift(
+            gh * gw, sc.get("base_image_seq_len", 256),
+            sc.get("max_image_seq_len", 4096), sc.get("base_shift", 0.5),
+            sc.get("max_shift", 1.15))
+        sched = scheduling.set_timesteps(
+            req.num_inference_steps, mu=mu, sigmas=req.sigmas)
+
+        if do_cfg:
+            neg = jnp.asarray(req.negative_prompt_embeds, self.dtype)
+            Lt = max(embeds.shape[1], neg.shape[1])
+
+            def pad_to(x, L):
+                n = L - x.shape[1]
+                return jnp.pad(x, ((0, 0), (0, n), (0, 0))) if n else x
+
+            txt = jnp.concatenate([pad_to(embeds, Lt), pad_to(neg, Lt)],
+                                  axis=0)
+        else:
+            txt = embeds
+
+        t0 = time.perf_counter()
+        cache = self.cache_backend
+        if cache is not None:
+            cache.begin_run(int(sched.num_steps))
+        for i in range(sched.num_steps):
+            t = sched.timesteps[i] / 1000.0
+            if cache is not None and cache.should_skip(
+                    i, self.params["transformer"], t, latents):
+                latents = cache.apply_skip(latents, sched.sigmas[i],
+                                           sched.sigmas[i + 1])
+                metrics.steps_skipped += 1
+                continue
+            prev = latents
+            latents = self._denoise_step(
+                self.params["transformer"], latents, txt, t,
+                sched.sigmas[i], sched.sigmas[i + 1],
+                jnp.float32(req.guidance_scale), do_cfg=do_cfg,
+                grid=(gh, gw))
+            if cache is not None:
+                cache.observe(i, prev, latents, sched.sigmas[i],
+                              sched.sigmas[i + 1])
+            if req.return_trajectory:
+                req.trajectory_latents.append(latents)
+                req.trajectory_timesteps.append(float(sched.timesteps[i]))
+        jax.block_until_ready(latents)
+        metrics.denoise_latency = time.perf_counter() - t0
+        metrics.num_steps = sched.num_steps
+
+        if req.output_type == "latent":
+            metrics.e2e_latency = time.perf_counter() - t_start
+            return latents, metrics
+
+        t0 = time.perf_counter()
+        v = self.vae.cfg
+        z = unpack_latents(latents, gh, gw).astype(jnp.float32)
+        z = z / v.scaling_factor + v.shift_factor
+        image = jax.block_until_ready(self._decode(self.params["vae"], z))
+        metrics.vae_latency = time.perf_counter() - t0
+        metrics.e2e_latency = time.perf_counter() - t_start
+        return image, metrics
