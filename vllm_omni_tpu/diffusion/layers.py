@@ -133,6 +133,25 @@ def apply_rope_interleaved(x: jax.Array, angles: jax.Array) -> jax.Array:
     return out.astype(orig_dtype)
 
 
+# --------------------------------------------------------- attention impl
+# Kernel-orthogonal backend selection (parity: the reference's attention
+# selector + parallel-strategy pre/post hooks, reference diffusion/
+# attention/selector.py:18-77, attention/layer.py:17-70). A registered
+# impl wraps/replaces the dense kernel — e.g. Ulysses SP installs
+# `parallel.ulysses.ulysses_attention` inside its shard_map region.
+_ATTENTION_IMPL = None
+
+
+def set_attention_impl(fn) -> None:
+    """fn(q, k, v, scale, mask) -> out, or None to restore the default."""
+    global _ATTENTION_IMPL
+    _ATTENTION_IMPL = fn
+
+
+def get_attention_impl():
+    return _ATTENTION_IMPL
+
+
 def dense_attention(
     q: jax.Array,  # [B, L, H, D]
     k: jax.Array,  # [B, Lk, H, D]
@@ -142,6 +161,19 @@ def dense_attention(
 ) -> jax.Array:
     """Plain dense attention; XLA fuses/flashes this on TPU for the DiT
     sequence lengths. [B, L, H, D] out."""
+    if _ATTENTION_IMPL is not None:
+        return _ATTENTION_IMPL(q, k, v, scale, mask)
+    return dense_attention_base(q, k, v, scale=scale, mask=mask)
+
+
+def dense_attention_base(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """The raw dense kernel (never re-dispatched — backends call this)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     scores = jnp.einsum(
