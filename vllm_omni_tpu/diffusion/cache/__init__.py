@@ -7,9 +7,11 @@ control flow can't live under jit; SURVEY.md §7 hard part).
 """
 
 from vllm_omni_tpu.config.diffusion import DiffusionCacheConfig
+from vllm_omni_tpu.diffusion.cache.dbcache import DBCacheBackend
 from vllm_omni_tpu.diffusion.cache.teacache import TeaCacheBackend
 
-_BACKENDS = {"teacache": TeaCacheBackend}
+_BACKENDS = {"teacache": TeaCacheBackend, "dbcache": DBCacheBackend,
+             "cache_dit": DBCacheBackend}
 
 
 def get_cache_backend(config: DiffusionCacheConfig, pipeline):
