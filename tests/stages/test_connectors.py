@@ -69,3 +69,48 @@ def test_build_connectors_for_edges():
         {"0->1": {"type": "shm"}, "1->2": {"type": "inproc"}})
     assert (0, 1) in conns and (1, 2) in conns
     assert type(conns[(0, 1)]).__name__ == "SharedMemoryConnector"
+
+
+def test_tcp_connector_roundtrip():
+    import numpy as np
+
+    import vllm_omni_tpu.connectors.tcp  # noqa: F401 (registers "tcp")
+    from vllm_omni_tpu.connectors.base import OmniConnectorFactory
+
+    conn = OmniConnectorFactory.create("tcp", {"host": "127.0.0.1"})
+    try:
+        payload = {"x": np.arange(100000, dtype=np.float32),
+                   "meta": "hello"}
+        ok, n, md = conn.put(0, 1, "r1", payload)
+        assert ok and n > 0 and md["connector"] == "tcp"
+        # a separate connector instance (as the consumer stage would be)
+        consumer = OmniConnectorFactory.create("tcp", {})
+        out = consumer.get(0, 1, "r1", md)
+        np.testing.assert_array_equal(out["x"], payload["x"])
+        assert out["meta"] == "hello"
+        # payloads are one-shot
+        try:
+            consumer.get(0, 1, "r1", md)
+            raise AssertionError("expected KeyError on double fetch")
+        except KeyError:
+            pass
+    finally:
+        conn.close()
+
+
+def test_tcp_connector_cleanup():
+    import vllm_omni_tpu.connectors.tcp  # noqa: F401
+    from vllm_omni_tpu.connectors.base import OmniConnectorFactory
+
+    conn = OmniConnectorFactory.create("tcp", {})
+    try:
+        _, _, md = conn.put(0, 1, "gone", [1, 2, 3])
+        conn.cleanup("gone")
+        consumer = OmniConnectorFactory.create("tcp", {})
+        try:
+            consumer.get(0, 1, "gone", md)
+            raise AssertionError("expected KeyError after cleanup")
+        except KeyError:
+            pass
+    finally:
+        conn.close()

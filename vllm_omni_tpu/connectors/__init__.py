@@ -4,6 +4,7 @@ from vllm_omni_tpu.connectors.base import (
 )
 import vllm_omni_tpu.connectors.inproc  # noqa: F401 (registers "inproc")
 import vllm_omni_tpu.connectors.shm  # noqa: F401 (registers "shm")
+import vllm_omni_tpu.connectors.tcp  # noqa: F401 (registers "tcp"/"mooncake")
 
 
 def build_connectors_for_edges(
