@@ -118,3 +118,42 @@ def test_sliding_window():
     windowed = ragged_paged_attention_ref(**args, scale=0.25, sliding_window=4)
     # token at pos 16, window 4 → kv pos 13..16 only
     assert not np.allclose(np.asarray(full)[0], np.asarray(windowed)[0])
+
+
+@pytest.mark.parametrize(
+    "seqs",
+    [
+        [(12, 1)],                      # pure decode
+        [(31, 1), (7, 1), (0, 1)],      # decode batch
+        [(0, 7), (20, 1), (5, 3)],      # mixed: prefill + decode + chunk
+        [(0, 12)],                      # pure prefill (small T still ok)
+    ],
+)
+def test_gather_path_vs_naive(seqs):
+    from vllm_omni_tpu.ops.attention.ragged_paged import (
+        ragged_paged_attention_gather,
+    )
+
+    rng = np.random.default_rng(3)
+    inputs, expected, T = build_case(rng, seqs, T_pad=16)
+    out = ragged_paged_attention_gather(
+        **{k: jnp.asarray(v) for k, v in inputs.items()},
+        scale=1.0 / np.sqrt(16))
+    np.testing.assert_allclose(np.asarray(out)[:T], expected[:T],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gather_path_sliding_window():
+    from vllm_omni_tpu.ops.attention.ragged_paged import (
+        ragged_paged_attention_gather,
+        ragged_paged_attention_ref,
+    )
+
+    rng = np.random.default_rng(4)
+    inputs, _, T = build_case(rng, [(16, 1), (9, 2)])
+    args = {k: jnp.asarray(v) for k, v in inputs.items()}
+    ref = ragged_paged_attention_ref(**args, scale=0.25, sliding_window=8)
+    got = ragged_paged_attention_gather(
+        **args, scale=0.25, sliding_window=8)
+    np.testing.assert_allclose(np.asarray(got)[:T], np.asarray(ref)[:T],
+                               rtol=2e-4, atol=2e-4)

@@ -412,6 +412,17 @@ class Scheduler:
             cu = cu_q[r] + q_lens[r]
         cu_q[S] = num_tokens
 
+        # block-table width bucketing: slice to the batch's actual max
+        # blocks (bucketed to limit retraces). The gather attention path's
+        # memory traffic scales with table width, so a 32k-capable table
+        # must not ride along on a 256-token decode batch.
+        needed = int(max(1, -(-int(seq_lens.max()) // self.block_size)))
+        width = 8
+        while width < needed:
+            width *= 2
+        width = min(width, self.max_blocks_per_seq)
+        block_tables = block_tables[:, :width]
+
         desc = BatchDescriptor(
             token_ids=token_ids,
             positions=positions,

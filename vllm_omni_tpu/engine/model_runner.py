@@ -138,6 +138,7 @@ class ModelRunner:
         has_add: bool = False, has_deepstack: bool = False,
         donate: bool = True,
         need_penalties: bool = True, all_greedy: bool = False,
+        maxb: int = 0,
     ) -> Callable:
         import inspect
 
@@ -153,7 +154,9 @@ class ModelRunner:
             )
 
         S = self.config.scheduler_config.max_num_seqs
-        MAXB = cdiv(
+        # block tables arrive width-bucketed from the scheduler; the
+        # packed-int layout (and thus the trace) is keyed by the width
+        MAXB = maxb or cdiv(
             self.config.scheduler_config.max_model_len,
             self.config.cache_config.block_size,
         )
@@ -366,15 +369,16 @@ class ModelRunner:
         has_mrope = "mrope_positions" in d
         has_add = "add_embeds" in d
         has_deepstack = "deepstack_embeds" in d
+        maxb = int(desc.block_tables.shape[1])
         key = (has_embeds, has_mrope, has_add, has_deepstack,
-               desc.need_penalties, desc.all_greedy)
+               desc.need_penalties, desc.all_greedy, maxb)
         step_fn = self._step_fns.get(key)
         if step_fn is None:
             step_fn = self._step_fns[key] = self._build_step_fn(
                 has_embeds, has_mrope, has_add,
                 has_deepstack=has_deepstack,
                 need_penalties=desc.need_penalties,
-                all_greedy=desc.all_greedy)
+                all_greedy=desc.all_greedy, maxb=maxb)
         (sampled, self.kv_cache, self.sampling_state,
          self.prev_sampled, aux) = step_fn(
             self.params, self.kv_cache, self.sampling_state,

@@ -114,6 +114,69 @@ def ragged_paged_attention_ref(
     return out.astype(q.dtype)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("scale", "logit_cap", "sliding_window"),
+)
+def ragged_paged_attention_gather(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    q_starts: jax.Array,
+    q_lens: jax.Array,
+    seq_lens: jax.Array,
+    block_tables: jax.Array,
+    positions: jax.Array,
+    token_rows: jax.Array,
+    scale: float,
+    logit_cap: float = 0.0,
+    sliding_window: int = 0,
+) -> jax.Array:
+    """Decode-fast path: one batched page gather + einsum per layer.
+
+    Rationale (profiled on v5e-1, 0.9B/batch-16 decode): the Pallas
+    kernel is DMA-latency bound at q tiles of one token — ~0.5 ms/layer
+    vs ~0.03 ms for a single [T, MAXB*B] gather that XLA pipelines at
+    full HBM bandwidth. Per-token page gather keyed by token_rows keeps
+    the math correct for ANY ragged batch (each token masks kv by its
+    own `positions` contract), but memory scales with T * MAXB * B so
+    dispatch restricts it to small-T (decode/mixed) batches."""
+    T, Hq, D = q.shape
+    S, MAXB = block_tables.shape
+    Hkv, _, B, _ = k_cache.shape
+    G = Hq // Hkv
+    L = MAXB * B
+
+    rows = jnp.clip(token_rows, 0, S - 1)
+    tables = block_tables[rows]  # [T, MAXB]
+    # gather each token's pages: [Hkv, T, MAXB, B, D] -> [T, Hkv, L, D]
+    k_t = jnp.swapaxes(k_cache[:, tables], 0, 1).reshape(T, Hkv, L, D)
+    v_t = jnp.swapaxes(v_cache[:, tables], 0, 1).reshape(T, Hkv, L, D)
+
+    qg = q.astype(jnp.float32).reshape(T, Hkv, G, D)
+    scores = jnp.einsum(
+        "thgd,thld->thgl", qg, k_t.astype(jnp.float32)) * scale
+    if logit_cap > 0.0:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
+    kv_pos = jnp.arange(L, dtype=jnp.int32)
+    mask = kv_pos[None, :] <= positions[:, None]  # causal [T, L]
+    mask &= kv_pos[None, :] < seq_lens[rows][:, None]
+    mask &= (token_rows < S)[:, None]  # padding tokens contribute nothing
+    if sliding_window > 0:
+        mask &= kv_pos[None, :] > positions[:, None] - sliding_window
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    any_valid = mask.any(axis=-1)[:, None, None, None]
+    probs = jnp.where(any_valid, probs, 0.0)
+    out = jnp.einsum("thgl,thld->thgd", probs, v_t.astype(jnp.float32))
+    return out.reshape(T, Hq, D).astype(q.dtype)
+
+
+# gather path engages when the token axis is at most this (decode and
+# small mixed batches); tunable via OMNI_TPU_GATHER_ATTN_MAX_T
+_GATHER_MAX_T_DEFAULT = 32
+
+
 def _pallas_supported(q, k_cache) -> bool:
     """Mosaic tiling constraints for the pallas kernel; anything else
     falls back to the XLA reference (e.g. tiny test models with
@@ -145,6 +208,19 @@ def ragged_paged_attention(
         backend = envs.attention_backend()
     if backend == "auto":
         backend = "pallas" if envs.is_tpu_platform() else "xla"
+    if backend in ("pallas", "xla"):
+        import os
+
+        max_t = int(os.environ.get(
+            "OMNI_TPU_GATHER_ATTN_MAX_T", _GATHER_MAX_T_DEFAULT))
+        if q.shape[0] <= max_t:
+            backend = "gather"
+    if backend == "gather":
+        return ragged_paged_attention_gather(
+            q, k_cache, v_cache, q_starts, q_lens, seq_lens, block_tables,
+            positions, token_rows, scale=scale, logit_cap=logit_cap,
+            sliding_window=sliding_window,
+        )
     if backend == "pallas" and not _pallas_supported(q, k_cache):
         backend = "xla"
     if backend == "pallas":
