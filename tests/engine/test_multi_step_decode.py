@@ -1,0 +1,91 @@
+"""Fused multi-step decode: token streams must be identical to
+single-step scheduling (greedy, seeded sampling, penalties, EOS mid
+window, block-boundary crossings)."""
+
+import numpy as np
+import pytest
+
+from vllm_omni_tpu.config.engine import EngineArgs
+from vllm_omni_tpu.core.request import Request
+from vllm_omni_tpu.engine.core import EngineCore
+from vllm_omni_tpu.sampling_params import SamplingParams
+
+CFG = {
+    "architectures": ["Qwen2ForCausalLM"],
+    "hidden_size": 64, "num_hidden_layers": 2,
+    "num_attention_heads": 4, "num_key_value_heads": 2,
+    "vocab_size": 128, "max_position_embeddings": 256,
+    "intermediate_size": 128, "eos_token_id": 127,
+}
+
+
+def _run(multi_step, sp_kwargs, n_req=3, prompt_len=9, seed=0):
+    args = EngineArgs(
+        model="t", hf_config=CFG, dtype="float32", max_num_seqs=4,
+        max_num_batched_tokens=64, block_size=8, num_kv_cache_blocks=64,
+        multi_step_decode=multi_step)
+    core = EngineCore(args.create_engine_config(), load_weights=False,
+                      pipeline_depth=2)
+    rng = np.random.default_rng(seed)
+    for i in range(n_req):
+        core.add_request(Request(
+            request_id=f"r{i}",
+            prompt_token_ids=[int(x) for x in
+                              rng.integers(0, 100, prompt_len + i)],
+            sampling_params=SamplingParams(**sp_kwargs)))
+    results = {}
+    for _ in range(400):
+        for out in core.step():
+            if out.finished:
+                results[out.request_id] = None
+        if not core.has_unfinished():
+            break
+    for i in range(n_req):
+        results[f"r{i}"] = list(
+            core.scheduler.requests[f"r{i}"].output_token_ids)
+    return results
+
+
+def test_greedy_equivalence():
+    sp = dict(temperature=0.0, max_tokens=23, ignore_eos=True,
+              detokenize=False)
+    single = _run(1, sp)
+    fused = _run(6, sp)
+    assert fused == single
+    assert all(len(v) == 23 for v in fused.values())
+
+
+def test_seeded_sampling_equivalence():
+    sp = dict(temperature=0.8, top_k=20, top_p=0.9, seed=7, max_tokens=17,
+              ignore_eos=True, detokenize=False)
+    single = _run(1, sp)
+    fused = _run(4, sp)
+    assert fused == single
+
+
+def test_penalties_equivalence():
+    sp = dict(temperature=0.0, repetition_penalty=1.3,
+              presence_penalty=0.4, max_tokens=15, ignore_eos=True,
+              detokenize=False)
+    single = _run(1, sp)
+    fused = _run(5, sp)
+    assert fused == single
+
+
+def test_eos_mid_window():
+    """EOS inside a fused window finishes the request at the right
+    length; later sub-step garbage is discarded."""
+    sp = dict(temperature=0.0, max_tokens=40, ignore_eos=False,
+              detokenize=False)
+    single = _run(1, sp, n_req=2, seed=3)
+    fused = _run(8, sp, n_req=2, seed=3)
+    assert fused == single
+
+
+def test_block_boundary_crossing():
+    """Windows that cross KV block boundaries (block_size 8) stay exact."""
+    sp = dict(temperature=0.0, max_tokens=30, ignore_eos=True,
+              detokenize=False)
+    single = _run(1, sp, n_req=2, prompt_len=6)
+    fused = _run(7, sp, n_req=2, prompt_len=6)
+    assert fused == single

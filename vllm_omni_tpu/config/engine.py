@@ -37,6 +37,8 @@ class EngineArgs:
     max_num_seqs: int = 64
     max_num_batched_tokens: int = 4096
     one_shot_scheduler: bool = False
+    # fused decode sub-steps per dispatch (None -> $OMNI_TPU_MULTI_STEP or 1)
+    multi_step_decode: Optional[int] = None
     # parallel
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
@@ -79,11 +81,16 @@ class EngineArgs:
             cache_dtype=self.dtype,
             enable_prefix_caching=self.enable_prefix_caching,
         )
+        import os as _os
+
         scheduler_config = SchedulerConfig(
             max_num_seqs=self.max_num_seqs,
             max_num_batched_tokens=self.max_num_batched_tokens,
             max_model_len=model_config.max_model_len,
             one_shot=self.one_shot_scheduler,
+            multi_step_decode=self.multi_step_decode
+            if self.multi_step_decode is not None
+            else int(_os.environ.get("OMNI_TPU_MULTI_STEP", 1)),
         )
         parallel_config = ParallelConfig(
             data_parallel_size=self.data_parallel_size,

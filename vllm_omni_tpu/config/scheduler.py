@@ -24,6 +24,9 @@ class SchedulerConfig:
     # (reference OmniGenerationScheduler, omni_generation_scheduler.py:19-148).
     one_shot: bool = False
     enable_chunked_prefill: bool = True
+    # fuse up to K decode steps into one device dispatch when the whole
+    # batch is in steady decode (amortizes per-dispatch overhead)
+    multi_step_decode: int = 1
     # Token-count padding buckets for jit shape reuse.
     token_buckets: list[int] = field(default_factory=default_token_buckets)
 

@@ -69,6 +69,12 @@ class BatchDescriptor:
     use_add_embeds: Optional[np.ndarray] = None
     # --- optional deepstack visual embeds [n_levels, T_pad, H] ---
     deepstack_embeds: Optional[np.ndarray] = None
+    # --- multi-step fused decode: K jitted decode steps per dispatch ---
+    # (amortizes per-dispatch host/tunnel overhead; see SchedulerConfig.
+    # multi_step_decode). extra_slots[k-1] holds each token's KV slot at
+    # sub-step k (block boundaries precomputed host-side).
+    num_steps: int = 1
+    extra_slots: Optional[np.ndarray] = None  # int32 [num_steps-1, T_pad]
 
     @property
     def padded_num_tokens(self) -> int:
@@ -95,6 +101,8 @@ class SchedulerOutput:
     epochs: dict[str, int] = field(default_factory=dict)
     # host-side extra per-request info for model hooks
     runtime_info: dict[str, Any] = field(default_factory=dict)
+    # fused decode sub-steps in this dispatch (sampled arrives [K, S])
+    num_steps: int = 1
 
     @property
     def is_empty(self) -> bool:

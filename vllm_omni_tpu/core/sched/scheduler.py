@@ -160,7 +160,39 @@ class Scheduler:
             new_req_ids.append(req.request_id)
             budget -= n
 
-        out = self._build_output(scheduled, new_req_ids)
+        # multi-step fused decode: when the whole batch is in steady
+        # decode (no waiting work, no side channels), schedule K steps in
+        # one dispatch — per-dispatch host/tunnel overhead amortizes by K.
+        extra_steps = 0
+        ms = self.config.multi_step_decode
+        if (ms > 1 and scheduled and not self.waiting
+                and not self.config.one_shot and not self.use_mrope):
+            eligible = all(
+                n == 1
+                and req.num_computed_tokens >= req.num_prompt_tokens
+                and getattr(req, "decode_embeds", None) is None
+                for req, n in scheduled
+            )
+            if eligible:
+                room = min(
+                    min(req.max_total_tokens - 1, self.config.max_model_len)
+                    - (req.num_computed_tokens + 1)
+                    for req, _ in scheduled
+                )
+                extra_steps = max(0, min(ms - 1, room))
+            if extra_steps > 0:
+                # preallocate blocks through the whole window; on pressure
+                # fall back to single-step
+                for req, _ in scheduled:
+                    if self.kv.allocate(
+                            req.request_id,
+                            req.num_computed_tokens + 1 + extra_steps
+                    ) is None:
+                        extra_steps = 0
+                        break
+
+        out = self._build_output(scheduled, new_req_ids,
+                                 extra_steps=extra_steps)
         return out
 
     # -------------------------------------------------------------- update
@@ -253,7 +285,8 @@ class Scheduler:
 
     # ------------------------------------------------------- array building
     def _build_output(
-        self, scheduled: list[tuple[Request, int]], new_req_ids: list[str]
+        self, scheduled: list[tuple[Request, int]], new_req_ids: list[str],
+        extra_steps: int = 0,
     ) -> SchedulerOutput:
         S = self.config.max_num_seqs
         num_tokens = sum(n for _, n in scheduled)
@@ -287,6 +320,8 @@ class Scheduler:
         use_add = None
         deepstack = None
         mrope = np.zeros((3, T), np.float32) if self.use_mrope else None
+        extra_slots = (np.zeros((extra_steps, T), np.int32)
+                       if extra_steps else None)
 
         t = 0
         sched_ids: list[str] = []
@@ -361,6 +396,14 @@ class Scheduler:
                 pos = start + i
                 b = blocks[pos // self.block_size]
                 slot_mapping[t + i] = b * self.block_size + pos % self.block_size
+            if extra_steps:
+                # fused-window sub-steps: each row's single token advances
+                # one position per sub-step (block crossings resolved here)
+                for k in range(1, extra_steps + 1):
+                    pos = start + n - 1 + k
+                    b = blocks[pos // self.block_size]
+                    extra_slots[k - 1, t + n - 1] = (
+                        b * self.block_size + pos % self.block_size)
             q_lens[row] = n
             seq_lens[row] = start + n
             block_tables[row, : len(blocks)] = blocks
@@ -387,7 +430,7 @@ class Scheduler:
             # number of tokens generated before the sample this chunk makes
             step_counters[row] = max(0, start + n - req.num_prompt_tokens)
             # schedule-time accounting (results may arrive steps later)
-            req.num_computed_tokens = start + n
+            req.num_computed_tokens = start + n + extra_steps
             t += n
 
         cu_q = np.zeros(S + 1, np.int32)
@@ -456,6 +499,8 @@ class Scheduler:
             add_embeds=add_embeds,
             use_add_embeds=use_add,
             deepstack_embeds=deepstack,
+            num_steps=1 + extra_steps,
+            extra_slots=extra_slots,
         )
         out = SchedulerOutput(
             descriptor=desc,
@@ -466,4 +511,5 @@ class Scheduler:
         )
         out.chunk_ends = chunk_ends
         out.epochs = epochs
+        out.num_steps = 1 + extra_steps
         return out

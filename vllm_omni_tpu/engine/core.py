@@ -73,6 +73,10 @@ class EngineCore:
             is not None,
         )
         mc = config.model_config
+        # multi-step windows carry only final-substep aux: text-only
+        if (mc.engine_output_type != "text"
+                or getattr(self.runner.model, "emit_full_hidden", False)):
+            config.scheduler_config.multi_step_decode = 1
         self.eos_token_id = mc.get("eos_token_id")
         if isinstance(self.eos_token_id, list):
             # multiple EOS ids: treat extras as stop tokens at add time
@@ -115,17 +119,18 @@ class EngineCore:
         return outputs
 
     def _drain_many(self, k: int) -> list[EngineCoreOutput]:
-        import jax.numpy as jnp
-
         items = [self._inflight.popleft() for _ in range(k)]
-        if k == 1:
-            stacked = np.asarray(jax.device_get(items[0][1]))[None]
-        else:
-            stacked = np.asarray(
-                jax.device_get(jnp.stack([s for _, s, _ in items])))
+        # one blocking fetch for the whole window; shapes may differ
+        # between single steps ([S]) and fused windows ([K, S])
+        fetched = jax.device_get(tuple(s for _, s, _ in items))
         outputs: list[EngineCoreOutput] = []
-        for (sched, _, aux), row in zip(items, stacked):
-            outputs.extend(self._process_results(sched, row, aux))
+        for (sched, _, aux), samp in zip(items, fetched):
+            samp = np.asarray(samp)
+            if samp.ndim == 2:  # fused multi-step window
+                for sub in samp:
+                    outputs.extend(self._process_results(sched, sub, aux))
+            else:
+                outputs.extend(self._process_results(sched, samp, aux))
         return outputs
 
     def _collect_full_hidden(self, sched_out, aux) -> None:

@@ -138,7 +138,7 @@ class ModelRunner:
         has_add: bool = False, has_deepstack: bool = False,
         donate: bool = True,
         need_penalties: bool = True, all_greedy: bool = False,
-        maxb: int = 0,
+        maxb: int = 0, num_steps: int = 1,
     ) -> Callable:
         import inspect
 
@@ -153,6 +153,8 @@ class ModelRunner:
                 "expert" if (self.mesh is not None and ep > 1) else None
             )
 
+        if num_steps > 1 and getattr(self.model, "emit_full_hidden", False):
+            raise ValueError("multi-step decode requires a text-only model")
         S = self.config.scheduler_config.max_num_seqs
         # block tables arrive width-bucketed from the scheduler; the
         # packed-int layout (and thus the trace) is keyed by the width
@@ -167,7 +169,7 @@ class ModelRunner:
             dominates decode otherwise)."""
             ints = d["ints"]
             floats = d["floats"]
-            T = (ints.shape[0] - (9 * S + 1) - S * MAXB) // 6
+            T = (ints.shape[0] - (9 * S + 1) - S * MAXB) // (5 + num_steps)
             o = 0
 
             def take(n):
@@ -194,6 +196,9 @@ class ModelRunner:
                 "step_counters": take(S),
                 "block_tables": take(S * MAXB).reshape(S, MAXB),
             }
+            if num_steps > 1:
+                u["extra_slots"] = take(
+                    (num_steps - 1) * T).reshape(num_steps - 1, T)
             (u["temperature"], u["top_p"], u["min_p"],
              u["repetition_penalty"], u["presence_penalty"],
              u["frequency_penalty"]) = jnp.split(floats, 6)
@@ -204,11 +209,14 @@ class ModelRunner:
                     u[k] = d[k]
             return u
 
-        def step(params, kv_cache, state: SamplingState, prev_sampled, d: dict):
-            d = unpack(d)
+        def substep(params, kv_cache, state, prev_sampled, d, k, slot_k):
+            """One decode/prefill step; in fused multi-step windows k > 0
+            sub-steps source every token from prev_sampled and advance
+            positions/seq_lens/counters by k."""
+            rows_clip = jnp.clip(d["token_rows"], 0, S - 1)
             token_ids = jnp.where(
-                d["use_prev_sampled"],
-                prev_sampled[jnp.clip(d["token_rows"], 0, S - 1)],
+                d["use_prev_sampled"] | (k > 0),
+                prev_sampled[rows_clip],
                 d["token_ids"],
             )
             embeds = model.embed_tokens(params, token_ids)
@@ -219,14 +227,15 @@ class ModelRunner:
                 add = d["add_embeds"].astype(embeds.dtype)
                 embeds = embeds + jnp.where(
                     d["use_add_embeds"][:, None], add, 0.0)
+            active = (d["q_lens"] > 0).astype(jnp.int32)
             meta = AttentionMetadata(
                 q_starts=d["cu_q_lens"][:-1],
                 q_lens=d["q_lens"],
-                seq_lens=d["seq_lens"],
+                seq_lens=d["seq_lens"] + active * k,
                 block_tables=d["block_tables"],
-                positions=d["positions"],
+                positions=d["positions"] + k,
                 token_rows=d["token_rows"],
-                slot_mapping=d["slot_mapping"],
+                slot_mapping=slot_k,
                 rope_positions=d.get("mrope_positions"),
             )
             step_fwd_kwargs = dict(fwd_kwargs)
@@ -265,7 +274,7 @@ class ModelRunner:
                 sampled = sample(
                     logits,
                     d["temperature"], d["top_p"], d["top_k"], d["min_p"],
-                    d["seeds"], d["step_counters"],
+                    d["seeds"], d["step_counters"] + k,
                 )
             sampled = jnp.where(d["do_sample"], sampled, 0)
             if need_penalties:
@@ -286,6 +295,31 @@ class ModelRunner:
             if hasattr(model, "aux_outputs"):
                 aux.update(model.aux_outputs(params, rows_hidden, sampled))
             return sampled, kv_cache, state, prev_sampled, aux
+
+        def step(params, kv_cache, state: SamplingState, prev_sampled, d: dict):
+            d = unpack(d)
+            if num_steps == 1:
+                return substep(params, kv_cache, state, prev_sampled, d,
+                               jnp.int32(0), d["slot_mapping"])
+            # fused multi-step decode window: scan K sub-steps on device;
+            # only the final sub-step's aux survives (text-only engines)
+            slots = jnp.concatenate(
+                [d["slot_mapping"][None], d["extra_slots"]], axis=0)
+
+            def body(carry, xs):
+                kv_cache, state, prev = carry
+                k, slot_k = xs
+                sampled, kv_cache, state, prev, aux = substep(
+                    params, kv_cache, state, prev, d, k, slot_k)
+                return (kv_cache, state, prev), (
+                    sampled, aux["last_hidden"], aux["last_input_embed"])
+
+            (kv_cache, state, prev_sampled), ys = jax.lax.scan(
+                body, (kv_cache, state, prev_sampled),
+                (jnp.arange(num_steps, dtype=jnp.int32), slots))
+            sampled_k, rh, ie = ys
+            aux = {"last_hidden": rh[-1], "last_input_embed": ie[-1]}
+            return sampled_k, kv_cache, state, prev_sampled, aux
 
         donate_argnums = (1, 2, 3) if donate else ()
         if self.mesh is None:
@@ -341,7 +375,9 @@ class ModelRunner:
             desc.reset_rows.astype(np.int32), desc.top_k,
             desc.seeds.view(np.int32), desc.step_counters,
             desc.block_tables.reshape(-1),
-        ]).astype(np.int32, copy=False)
+        ] + ([desc.extra_slots.reshape(-1)]
+             if desc.extra_slots is not None else [])
+        ).astype(np.int32, copy=False)
         floats = np.concatenate([
             desc.temperature, desc.top_p, desc.min_p,
             desc.repetition_penalty, desc.presence_penalty,
@@ -370,15 +406,17 @@ class ModelRunner:
         has_add = "add_embeds" in d
         has_deepstack = "deepstack_embeds" in d
         maxb = int(desc.block_tables.shape[1])
+        num_steps = int(getattr(desc, "num_steps", 1))
         key = (has_embeds, has_mrope, has_add, has_deepstack,
-               desc.need_penalties, desc.all_greedy, maxb)
+               desc.need_penalties, desc.all_greedy, maxb, num_steps)
         step_fn = self._step_fns.get(key)
         if step_fn is None:
             step_fn = self._step_fns[key] = self._build_step_fn(
                 has_embeds, has_mrope, has_add,
                 has_deepstack=has_deepstack,
                 need_penalties=desc.need_penalties,
-                all_greedy=desc.all_greedy, maxb=maxb)
+                all_greedy=desc.all_greedy, maxb=maxb,
+                num_steps=num_steps)
         (sampled, self.kv_cache, self.sampling_state,
          self.prev_sampled, aux) = step_fn(
             self.params, self.kv_cache, self.sampling_state,
