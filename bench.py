@@ -16,8 +16,10 @@ import time
 
 
 def main():
-    # throughput mode: deep async pipeline amortizes device round-trips
-    os.environ.setdefault("OMNI_TPU_PIPELINE_DEPTH", "16")
+    # throughput mode: fused multi-step windows amortize per-dispatch
+    # overhead; a shallow async pipeline keeps windows in flight
+    os.environ.setdefault("OMNI_TPU_PIPELINE_DEPTH", "4")
+    os.environ.setdefault("OMNI_TPU_MULTI_STEP", "8")
     from vllm_omni_tpu.config.engine import EngineArgs
     from vllm_omni_tpu.core.request import Request
     from vllm_omni_tpu.engine.core import EngineCore
@@ -37,7 +39,9 @@ def main():
         "eos_token_id": 2,
     }
     batch = int(os.environ.get("BENCH_BATCH", 16))
-    prompt_len = int(os.environ.get("BENCH_PROMPT", 128))
+    # prompt 256 keeps the whole run inside one block-table width
+    # bucket (no mid-measurement recompile)
+    prompt_len = int(os.environ.get("BENCH_PROMPT", 256))
     decode_steps = int(os.environ.get("BENCH_DECODE", 128))
 
     args = EngineArgs(
@@ -71,9 +75,11 @@ def main():
     # tokens actually produced)
     t0 = time.perf_counter()
     tokens = 0
-    for _ in range(decode_steps - 16):
+    iters = 0
+    while core.has_unfinished() and iters < decode_steps * 4:
         for out in core.step():
             tokens += len(out.new_token_ids)
+        iters += 1
     dt = time.perf_counter() - t0
     tps = tokens / dt
 

@@ -40,7 +40,9 @@ class Scheduler:
         self.use_mrope = use_mrope
         self.config = scheduler_config
         self.block_size = cache_config.block_size
-        self.kv = KVCacheManager(num_kv_blocks, cache_config.block_size)
+        self.kv = KVCacheManager(
+            num_kv_blocks, cache_config.block_size,
+            enable_prefix_caching=cache_config.enable_prefix_caching)
         self.max_blocks_per_seq = cdiv(
             scheduler_config.max_model_len, cache_config.block_size
         )
@@ -135,6 +137,16 @@ class Scheduler:
             and len(self.running) < self.config.max_num_seqs
         ):
             req = self.waiting[0]
+            if (self.kv.enable_prefix_caching
+                    and req.num_computed_tokens == 0
+                    and req.prompt_embeds is None):
+                # automatic prefix caching: leading full prompt blocks
+                # already resident are shared, their tokens skipped (at
+                # least one prompt token always computes for logits)
+                cached = self.kv.match_prefix(
+                    req.request_id, req.prompt_token_ids)
+                req.num_computed_tokens = min(
+                    cached, max(req.num_prompt_tokens - 1, 0))
             remaining = req.num_prompt_tokens - req.num_computed_tokens
             if remaining <= 0:
                 remaining = 1  # empty prompt → single placeholder token
@@ -150,6 +162,13 @@ class Scheduler:
                     break
             if self.kv.allocate(req.request_id, req.num_computed_tokens + n) is None:
                 break
+            if (self.kv.enable_prefix_caching
+                    and req.prompt_embeds is None
+                    and req.num_computed_tokens + n >= req.num_prompt_tokens):
+                # single-chunk prefill: register now so requests admitted
+                # later in this same schedule() can already share
+                self.kv.register_prompt(req.request_id,
+                                        req.prompt_token_ids)
             self.waiting.popleft()
             row = self._free_rows.pop()
             req.batch_row = row
@@ -179,7 +198,9 @@ class Scheduler:
                     - (req.num_computed_tokens + 1)
                     for req, _ in scheduled
                 )
-                extra_steps = max(0, min(ms - 1, room))
+                # quantize to {ms, 1}: shrinking tail windows would each
+                # compile a fresh K-variant program
+                extra_steps = ms - 1 if room >= ms - 1 else 0
             if extra_steps > 0:
                 # preallocate blocks through the whole window; on pressure
                 # fall back to single-step
@@ -392,6 +413,13 @@ class Scheduler:
                         add_embeds[t + i] = de[min(j, de.shape[0] - 1)]
                         use_add[t + i] = True
             blocks = self.kv.get_blocks(req.request_id)
+            if (self.kv.enable_prefix_caching
+                    and req.prompt_embeds is None
+                    and start < req.num_prompt_tokens <= start + n):
+                # this chunk completes the prompt: content-address its
+                # full blocks for sharing by later identical prefixes
+                self.kv.register_prompt(req.request_id,
+                                        req.prompt_token_ids)
             for i in range(n):
                 pos = start + i
                 b = blocks[pos // self.block_size]
