@@ -179,3 +179,33 @@ def test_prompt_embeds_change_output(llm):
     out = llm.generate(
         {"prompt_token_ids": prompt, "prompt_embeds": embeds}, sp)[0]
     assert out.outputs[0].token_ids != base.outputs[0].token_ids
+
+
+def test_suppress_token_ids():
+    """Suppressed ids never get sampled (greedy picks runner-up)."""
+    from vllm_omni_tpu.config.engine import EngineArgs
+    from vllm_omni_tpu.engine.llm import LLM
+    from vllm_omni_tpu.sampling_params import SamplingParams
+
+    cfg = {
+        "architectures": ["Qwen2ForCausalLM"], "hidden_size": 64,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "vocab_size": 128,
+        "max_position_embeddings": 128, "intermediate_size": 128,
+        "eos_token_id": 127,
+    }
+    llm = LLM(engine_args=EngineArgs(
+        model="t", hf_config=cfg, dtype="float32", max_num_seqs=2,
+        max_num_batched_tokens=64, block_size=8, num_kv_cache_blocks=32),
+        load_weights=False)
+    base = llm.generate(
+        {"prompt_token_ids": [1, 2, 3]},
+        SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True,
+                       detokenize=False))[0].outputs[0].token_ids
+    sup = llm.generate(
+        {"prompt_token_ids": [1, 2, 3]},
+        SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True,
+                       detokenize=False,
+                       suppress_token_ids=list(base[:2])))[0] \
+        .outputs[0].token_ids
+    assert base[0] not in sup and base[1] not in sup

@@ -51,6 +51,8 @@ class BatchDescriptor:
     frequency_penalty: np.ndarray  # f32
     seeds: np.ndarray  # uint32 per-row RNG seed
     step_counters: np.ndarray  # int32 per-row sample counter (for RNG fold)
+    # per-row suppressed token ids [S, 8] (-1 = unused slot)
+    suppress_ids: Optional[np.ndarray] = None
     # --- scalars ---
     num_tokens: int = 0  # actual (unpadded) token count
     num_reqs: int = 0  # actual scheduled request count

@@ -334,6 +334,7 @@ class Scheduler:
         freq_pen = np.zeros(S, np.float32)
         seeds = np.zeros(S, np.uint32)
         step_counters = np.zeros(S, np.int32)
+        suppress_ids = np.full((S, 8), -1, np.int32)
 
         embeds = None
         use_embeds = None
@@ -455,6 +456,8 @@ class Scheduler:
             pres_pen[row] = sp.presence_penalty
             freq_pen[row] = sp.frequency_penalty
             seeds[row] = np.uint32(sp.seed if sp.seed is not None else 0)
+            for si, tok in enumerate((sp.suppress_token_ids or [])[:8]):
+                suppress_ids[row, si] = tok
             # number of tokens generated before the sample this chunk makes
             step_counters[row] = max(0, start + n - req.num_prompt_tokens)
             # schedule-time accounting (results may arrive steps later)
@@ -517,6 +520,7 @@ class Scheduler:
             frequency_penalty=freq_pen,
             seeds=seeds,
             step_counters=step_counters,
+            suppress_ids=suppress_ids,
             num_tokens=num_tokens,
             num_reqs=len(scheduled),
             need_penalties=need_penalties,

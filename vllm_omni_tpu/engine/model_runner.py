@@ -169,7 +169,7 @@ class ModelRunner:
             dominates decode otherwise)."""
             ints = d["ints"]
             floats = d["floats"]
-            T = (ints.shape[0] - (9 * S + 1) - S * MAXB) // (5 + num_steps)
+            T = (ints.shape[0] - (17 * S + 1) - S * MAXB) // (5 + num_steps)
             o = 0
 
             def take(n):
@@ -194,6 +194,7 @@ class ModelRunner:
                 "top_k": take(S),
                 "seeds": take(S).astype(jnp.uint32),
                 "step_counters": take(S),
+                "suppress_ids": take(S * 8).reshape(S, 8),
                 "block_tables": take(S * MAXB).reshape(S, MAXB),
             }
             if num_steps > 1:
@@ -268,6 +269,12 @@ class ModelRunner:
                     d["repetition_penalty"], d["presence_penalty"],
                     d["frequency_penalty"],
                 )
+            # per-row suppressed tokens (HF suppress_tokens parity)
+            sup = d["suppress_ids"]
+            rows_i = jnp.arange(S)[:, None]
+            logits = logits.at[
+                rows_i, jnp.clip(sup, 0, logits.shape[-1] - 1)
+            ].add(jnp.where(sup >= 0, -1e30, 0.0))
             if all_greedy:
                 sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             else:
@@ -374,6 +381,9 @@ class ModelRunner:
             desc.logits_indices, desc.do_sample.astype(np.int32),
             desc.reset_rows.astype(np.int32), desc.top_k,
             desc.seeds.view(np.int32), desc.step_counters,
+            (desc.suppress_ids if desc.suppress_ids is not None
+             else np.full((desc.q_lens.shape[0], 8), -1, np.int32)
+             ).reshape(-1),
             desc.block_tables.reshape(-1),
         ] + ([desc.extra_slots.reshape(-1)]
              if desc.extra_slots is not None else [])

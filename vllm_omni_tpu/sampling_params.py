@@ -29,6 +29,9 @@ class SamplingParams:
     min_tokens: int = 0
     stop: Union[str, list[str], None] = None
     stop_token_ids: Optional[list[int]] = None
+    # tokens masked to -inf before sampling (HF suppress_tokens / vLLM
+    # bad_words single-token form); at most 8 per request
+    suppress_token_ids: Optional[list[int]] = None
     ignore_eos: bool = False
     seed: Optional[int] = None
     logprobs: Optional[int] = None
@@ -57,6 +60,10 @@ class SamplingParams:
             self.stop = []
         if self.stop_token_ids is None:
             self.stop_token_ids = []
+        if self.suppress_token_ids is None:
+            self.suppress_token_ids = []
+        if len(self.suppress_token_ids) > 8:
+            raise ValueError("at most 8 suppress_token_ids supported")
 
     @property
     def greedy(self) -> bool:
@@ -67,6 +74,7 @@ class SamplingParams:
             self,
             stop=list(self.stop or []),
             stop_token_ids=list(self.stop_token_ids or []),
+            suppress_token_ids=list(self.suppress_token_ids or []),
             extra_args=dict(self.extra_args),
         )
 
