@@ -131,10 +131,11 @@ def test_speech_pipeline_end_to_end():
         assert set(by_stage) == {0, 2}, [o.error for o in outs]
         # text out from thinker
         assert len(by_stage[0].request_output.outputs[0].token_ids) == 6
-        # audio out from token2wav: 8 codes -> 16 mel frames -> 4x upsample
+        # audio out from token2wav: 8 talker tokens, the last dropped
+        # (HF generate slices codes[:-1]) -> 7 codes -> 14 mel -> 4x
         wav = by_stage[2].request_output.outputs[0].multimodal_output[
             "waveform"]
         wav = np.asarray(wav)
-        assert wav.ndim == 1 and wav.size == 8 * 2 * 4
+        assert wav.ndim == 1 and wav.size == 7 * 2 * 4
         assert np.isfinite(wav).all()
         assert (np.abs(wav) <= 1.0).all()

@@ -158,6 +158,16 @@ def talker2token2wav(stage, upstream_outputs: dict[int, Any], original_prompt):
     src = stage.config.engine_input_source[0]
     out = upstream_outputs[src]
     codes = list(out.outputs[0].token_ids)
-    if codes and codes[-1] in (8292, 8294):  # trailing pad/eos
+    hf = stage.config.engine_args.hf_config or {}
+    stop_ids = set(
+        stage.config.diffusion_args.get("codec_stop_ids")
+        or (int(hf.get("tts_codec_end_token_id", 8294)),
+            int(hf.get("tts_codec_pad_token_id", 8292)))
+    )
+    comp = out.outputs[0]
+    if codes and (codes[-1] in stop_ids
+                  or comp.finish_reason == "length"):
+        # trailing pad/eos, or HF parity: generate() slices codes[:-1]
+        # unconditionally, so a length-capped talker also drops its last
         codes = codes[:-1]
     return {"prompt_token_ids": codes}
