@@ -52,6 +52,7 @@ class Omni:
         stage_configs: Optional[list[StageConfig]] = None,
         engine_factory: Optional[Callable] = None,
         log_stats: bool = False,
+        stats_path_prefix: str = "omni",
         init_timeout: float = 600.0,
     ):
         if stage_configs is None:
@@ -82,7 +83,8 @@ class Omni:
             }
         )
         self.metrics = OrchestratorMetrics(
-            num_stages=len(stage_configs), log_stats=log_stats)
+            num_stages=len(stage_configs), log_stats=log_stats,
+            stats_path_prefix=stats_path_prefix)
         self._counter = Counter()
         # bring-up (threaded engines; parity with _start_stages +
         # _wait_for_stages_ready, reference omni.py:191-271)
