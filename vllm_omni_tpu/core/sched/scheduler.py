@@ -28,6 +28,12 @@ from vllm_omni_tpu.kv_cache.manager import KVCacheManager
 from vllm_omni_tpu.utils import cdiv
 
 
+def _host_core():
+    from vllm_omni_tpu.native import get_host_core
+
+    return get_host_core()
+
+
 class Scheduler:
     def __init__(
         self,
@@ -421,18 +427,29 @@ class Scheduler:
                 # full blocks for sharing by later identical prefixes
                 self.kv.register_prompt(req.request_id,
                                         req.prompt_token_ids)
-            for i in range(n):
-                pos = start + i
-                b = blocks[pos // self.block_size]
-                slot_mapping[t + i] = b * self.block_size + pos % self.block_size
-            if extra_steps:
-                # fused-window sub-steps: each row's single token advances
-                # one position per sub-step (block crossings resolved here)
-                for k in range(1, extra_steps + 1):
-                    pos = start + n - 1 + k
+            host = _host_core()
+            if host is not None:
+                blocks_np = np.asarray(blocks, np.int32)
+                host.fill_slots(slot_mapping, blocks_np, start, n,
+                                self.block_size, t)
+                if extra_steps:
+                    host.fill_window_slots(
+                        extra_slots.reshape(-1), blocks_np, start + n - 1,
+                        self.block_size, t + n - 1, T)
+            else:
+                for i in range(n):
+                    pos = start + i
                     b = blocks[pos // self.block_size]
-                    extra_slots[k - 1, t + n - 1] = (
+                    slot_mapping[t + i] = (
                         b * self.block_size + pos % self.block_size)
+                if extra_steps:
+                    # fused-window sub-steps: each row's token advances one
+                    # position per sub-step (block crossings resolved here)
+                    for k in range(1, extra_steps + 1):
+                        pos = start + n - 1 + k
+                        b = blocks[pos // self.block_size]
+                        extra_slots[k - 1, t + n - 1] = (
+                            b * self.block_size + pos % self.block_size)
             q_lens[row] = n
             seq_lens[row] = start + n
             block_tables[row, : len(blocks)] = blocks
