@@ -29,7 +29,7 @@ TF_CFG = WanTransformerConfig(
 )
 VAE_CFG = QwenImageVAEConfig(
     base_dim=8, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
-    temperal_downsample=(False, True),
+    temperal_downsample=(True,),  # one entry per downsample stage
 )
 
 
@@ -255,3 +255,34 @@ def test_loader_mapping(tmp_path):
     out = model.forward(params, lat, jnp.asarray([500.0]), txt)
     assert out.shape == (1, c.out_channels, 2, 4, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_i2v_concat_conditioning():
+    """Wan2.1-style A14B i2v: 36-channel input (16 noise + 4 mask +
+    16 latent condition), optional CLIP image-prefix cross-attention."""
+    from vllm_omni_tpu.diffusion.models.wan2_2.pipeline import (
+        WanImageToVideoPipeline,
+    )
+
+    tf_cfg = WanTransformerConfig(
+        patch_size=(1, 2, 2), num_attention_heads=2, attention_head_dim=12,
+        in_channels=4 + 2 + 4, out_channels=4, text_dim=16, freq_dim=32,
+        ffn_dim=48, num_layers=2, cross_attn_norm=True,
+        image_dim=10, added_kv_proj_dim=24, text_len=4)
+    od = OmniDiffusionConfig(
+        model="", dtype=jnp.float32, default_height=16, default_width=16)
+    pipe = WanImageToVideoPipeline(
+        od, transformer_config=tf_cfg, vae_config=VAE_CFG,
+        load_weights=False, expand_timesteps=False)
+    rng = np.random.default_rng(0)
+    req = OmniDiffusionRequest(
+        request_id="i2v", prompt="x",
+        prompt_embeds=rng.normal(size=(1, 4, 16)).astype(np.float32),
+        image=rng.normal(size=(1, 3, 16, 16)).astype(np.float32) * 0.5,
+        image_embeds=rng.normal(size=(1, 6, 10)).astype(np.float32),
+        num_inference_steps=2, num_frames=3, output_type="latent",
+        guidance_scale=1.0)
+    lat, metrics = pipe.forward(req)
+    assert lat.shape == (1, 4, 2, 8, 8)
+    assert np.isfinite(np.asarray(lat)).all()
+    assert metrics.num_steps == 2

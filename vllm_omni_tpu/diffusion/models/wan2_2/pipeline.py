@@ -291,15 +291,162 @@ def token_frame_mask(latents, token_mask, cfg) -> jax.Array:
 
 
 class WanImageToVideoPipeline(WanPipeline):
-    """i2v: image condition channels concatenated (14B A14B i2v uses
-    36-channel inputs); round 1 serves the expand_timesteps (5B ti2v)
-    conditioning path which shares WanPipeline.forward."""
+    """i2v. Two conditioning modes (reference pipeline_wan2_2_i2v.py:
+    563-662):
+    - expand_timesteps (TI2V-5B): first-frame latent blend + per-token
+      timesteps — shares WanPipeline.forward;
+    - Wan2.1-style (A14B): the first frame is VAE-encoded with zero
+      padding for the remaining frames, a 4-channel temporal mask is
+      stacked on top, and the 20-channel condition is CONCATENATED to
+      the 16 noise channels per step (36-channel transformer input).
+      Optional CLIP image embeds ride the image-prefix cross-attention.
+    """
 
     def forward(self, req: OmniDiffusionRequest):
         if req.image is None:
             raise ValueError("WanImageToVideoPipeline needs req.image")
-        if not self.expand_timesteps:
-            raise NotImplementedError(
-                "36-channel i2v conditioning lands with the A14B i2v "
-                "loader; TI2V-5B (expand_timesteps) is supported")
-        return super().forward(req)
+        if self.expand_timesteps:
+            return super().forward(req)
+        return self._forward_concat(req)
+
+    def _build_concat_condition(self, img, B, num_frames, lat_f, lat_h,
+                                lat_w, height, width):
+        zc = self.vae.cfg.z_dim
+        tscale = self.vae_scale_factor_temporal
+        video = jnp.concatenate([
+            img[:, :, None],
+            jnp.zeros((B, img.shape[1], num_frames - 1, height, width),
+                      img.dtype)], axis=2)
+        z = self.vae.encode(self.params["vae"], video.astype(jnp.float32))
+        vcfg = self.vae.cfg
+        if vcfg.latents_mean is not None:
+            mean = jnp.asarray(vcfg.latents_mean, jnp.float32).reshape(
+                1, zc, 1, 1, 1)
+            std = jnp.asarray(vcfg.latents_std, jnp.float32).reshape(
+                1, zc, 1, 1, 1)
+            z = (z - mean) / std
+        # 4-channel temporal mask: frame 0 repeated tscale times, then
+        # zeros, grouped [B, tscale, F_lat, h, w]
+        mask = np.zeros((B, 1, num_frames, lat_h, lat_w), np.float32)
+        mask[:, :, 0] = 1.0
+        first = np.repeat(mask[:, :, 0:1], tscale, axis=2)
+        mask = np.concatenate([first, mask[:, :, 1:]], axis=2)
+        mask = mask.reshape(B, -1, tscale, lat_h, lat_w).transpose(
+            0, 2, 1, 3, 4)  # [B, tscale, F_lat, h, w]
+        return jnp.concatenate(
+            [jnp.asarray(mask), z.astype(jnp.float32)], axis=1)
+
+    def _forward_concat(self, req: OmniDiffusionRequest):
+        import time as _time
+
+        od = self.od_config
+        height = req.height or od.default_height
+        width = req.width or od.default_width
+        num_frames = req.num_frames or 81
+        if num_frames % self.vae_scale_factor_temporal != 1:
+            num_frames = max(
+                num_frames // self.vae_scale_factor_temporal
+                * self.vae_scale_factor_temporal + 1, 1)
+        metrics = DiffusionMetrics()
+        t_start = _time.perf_counter()
+
+        if req.prompt_embeds is None:
+            prompts = (req.prompt if isinstance(req.prompt, list)
+                       else [req.prompt])
+            req.prompt_embeds = self.encode_prompt(prompts)
+        do_cfg = req.guidance_scale > 1.0 and \
+            req.negative_prompt_embeds is not None
+        embeds = jnp.asarray(req.prompt_embeds, self.dtype)
+        B = embeds.shape[0]
+        zc = self.vae.cfg.z_dim
+        lat_f = (num_frames - 1) // self.vae_scale_factor_temporal + 1
+        lat_h = height // self.vae_scale_factor_spatial
+        lat_w = width // self.vae_scale_factor_spatial
+        seed = req.seed if req.seed is not None else 0
+        latents = (jnp.asarray(req.latents, self.dtype)
+                   if req.latents is not None else jax.random.normal(
+                       jax.random.key(seed), (B, zc, lat_f, lat_h, lat_w),
+                       jnp.float32).astype(self.dtype))
+
+        img = jnp.asarray(req.image, jnp.float32)  # [B, 3, H, W] in [-1,1]
+        condition = self._build_concat_condition(
+            img, B, num_frames, lat_f, lat_h, lat_w, height, width)
+        image_embeds = getattr(req, "image_embeds", None)
+        if image_embeds is not None:
+            image_embeds = jnp.asarray(image_embeds, self.dtype)
+
+        sched = scheduling.set_timesteps(
+            req.num_inference_steps,
+            shift=float(self.scheduler_config.get("shift", 3.0)),
+            sigmas=req.sigmas)
+        boundary_t = (self.boundary_ratio * 1000.0
+                      if self.boundary_ratio is not None else None)
+        g_high = req.guidance_scale
+        g_low = req.guidance_scale_2 or req.guidance_scale
+
+        if do_cfg:
+            neg = jnp.asarray(req.negative_prompt_embeds, self.dtype)
+            Lt = max(embeds.shape[1], neg.shape[1])
+
+            def pad_to(x, L):
+                n = L - x.shape[1]
+                return jnp.pad(x, ((0, 0), (0, n), (0, 0))) if n else x
+
+            txt = jnp.concatenate([pad_to(embeds, Lt), pad_to(neg, Lt)],
+                                  axis=0)
+        else:
+            txt = embeds
+
+        transformer = self.transformer
+
+        @partial(jax.jit, static_argnames=("do_cfg",))
+        def step(params, latents, condition, txt, img_emb, t, sigma,
+                 sigma_next, g, do_cfg: bool):
+            lat_in = jnp.concatenate(
+                [latents.astype(self.dtype),
+                 condition.astype(self.dtype)], axis=1)
+            if do_cfg:
+                lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
+                tvec = jnp.full((2 * latents.shape[0],), t, jnp.float32)
+                ie = (jnp.concatenate([img_emb, img_emb], axis=0)
+                      if img_emb is not None else None)
+                pred = transformer.forward(params, lat2, tvec, txt, ie)
+                pos, negp = pred[:latents.shape[0]], pred[latents.shape[0]:]
+                velocity = negp + g * (pos - negp)
+            else:
+                tvec = jnp.full((latents.shape[0],), t, jnp.float32)
+                velocity = transformer.forward(params, lat_in, tvec, txt,
+                                               img_emb)
+            return scheduling.step(latents, velocity, sigma, sigma_next)
+
+        t0 = _time.perf_counter()
+        for i in range(sched.num_steps):
+            t = float(sched.timesteps[i])
+            use_low = (boundary_t is not None and t < boundary_t
+                       and self.params.get("transformer_2") is not None)
+            tparams = (self.params["transformer_2"] if use_low
+                       else self.params["transformer"])
+            latents = step(tparams, latents, condition, txt, image_embeds,
+                           jnp.float32(t), sched.sigmas[i],
+                           sched.sigmas[i + 1],
+                           jnp.float32(g_low if use_low else g_high),
+                           do_cfg=do_cfg)
+        jax.block_until_ready(latents)
+        metrics.denoise_latency = _time.perf_counter() - t0
+        metrics.num_steps = sched.num_steps
+
+        if req.output_type == "latent":
+            metrics.e2e_latency = _time.perf_counter() - t_start
+            return latents, metrics
+
+        vcfg = self.vae.cfg
+        z = latents.astype(jnp.float32)
+        if vcfg.latents_mean is not None:
+            mean = jnp.asarray(vcfg.latents_mean, jnp.float32).reshape(
+                1, zc, 1, 1, 1)
+            std = jnp.asarray(vcfg.latents_std, jnp.float32).reshape(
+                1, zc, 1, 1, 1)
+            z = z * std + mean
+        video = jax.block_until_ready(self._decode(self.params["vae"], z))
+        metrics.e2e_latency = _time.perf_counter() - t_start
+        return video, metrics

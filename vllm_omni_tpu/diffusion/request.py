@@ -37,6 +37,7 @@ class OmniDiffusionRequest:
     seed: Optional[int] = None
     latents: Optional[Any] = None  # pre-made initial latents
     image: Optional[Any] = None  # input image(s) for edit/i2v
+    image_embeds: Optional[Any] = None  # CLIP embeds (Wan i2v)
     strength: float = 1.0
     output_type: str = "pil"  # "pil" | "np" | "latent"
     # trajectory capture (reference request.py trajectory fields)
