@@ -139,7 +139,22 @@ class AsyncOmni(Omni):
         return False
 
     async def reset_prefix_cache(self) -> None:
-        pass
+        """Drop all content-addressed (evictable) prefix blocks in every
+        LLM stage (parity: EngineClient.reset_prefix_cache)."""
+        for stage in self.stages.values():
+            kv = getattr(
+                getattr(getattr(stage.engine, "core", None), "scheduler",
+                        None), "kv", None)
+            if kv is None or not getattr(kv, "enable_prefix_caching", False):
+                continue
+            for blk, h in list(kv._evictable.items()):
+                kv._cached.pop(h, None)
+                kv._hash_of.pop(blk, None)
+                kv.pool.free([blk])
+            kv._evictable.clear()
+            # forget addresses of still-referenced blocks too: new
+            # requests must not match stale content
+            kv._cached.clear()
 
     async def check_health(self) -> None:
         for stage in self.stages.values():
