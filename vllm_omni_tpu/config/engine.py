@@ -39,6 +39,10 @@ class EngineArgs:
     one_shot_scheduler: bool = False
     # fused decode sub-steps per dispatch (None -> $OMNI_TPU_MULTI_STEP or 1)
     multi_step_decode: Optional[int] = None
+    # n-gram speculative decoding (vLLM ngram/prompt-lookup method)
+    num_speculative_tokens: int = 0
+    ngram_prompt_lookup_max: int = 3
+    ngram_prompt_lookup_min: int = 1
     # parallel
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
@@ -91,6 +95,9 @@ class EngineArgs:
             multi_step_decode=self.multi_step_decode
             if self.multi_step_decode is not None
             else int(_os.environ.get("OMNI_TPU_MULTI_STEP", 1)),
+            num_speculative_tokens=self.num_speculative_tokens,
+            ngram_prompt_lookup_max=self.ngram_prompt_lookup_max,
+            ngram_prompt_lookup_min=self.ngram_prompt_lookup_min,
         )
         parallel_config = ParallelConfig(
             data_parallel_size=self.data_parallel_size,

@@ -27,6 +27,11 @@ class SchedulerConfig:
     # fuse up to K decode steps into one device dispatch when the whole
     # batch is in steady decode (amortizes per-dispatch overhead)
     multi_step_decode: int = 1
+    # n-gram (prompt-lookup) speculative decoding: propose this many
+    # tokens per decode step from context matches (0 = off)
+    num_speculative_tokens: int = 0
+    ngram_prompt_lookup_max: int = 3
+    ngram_prompt_lookup_min: int = 1
     # Token-count padding buckets for jit shape reuse.
     token_buckets: list[int] = field(default_factory=default_token_buckets)
 

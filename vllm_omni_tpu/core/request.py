@@ -69,6 +69,10 @@ class Request:
     status: RequestStatus = RequestStatus.WAITING
     output_token_ids: list[int] = field(default_factory=list)
     num_computed_tokens: int = 0  # tokens scheduled into the KV cache
+    # n-gram speculative decoding state (scheduler-owned)
+    spec_tokens: Optional[list[int]] = None
+    spec_inflight: bool = False
+    last_new_tokens: Optional[list[int]] = None
     # epoch guards stale in-flight step results after recompute-preemption
     # (async pipelined scheduling)
     sched_epoch: int = 0

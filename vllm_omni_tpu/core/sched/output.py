@@ -77,6 +77,9 @@ class BatchDescriptor:
     # sub-step k (block boundaries precomputed host-side).
     num_steps: int = 1
     extra_slots: Optional[np.ndarray] = None  # int32 [num_steps-1, T_pad]
+    # speculative chunks present: the step also returns per-position
+    # argmax over the whole token axis for host-side verification
+    has_spec: bool = False
 
     @property
     def padded_num_tokens(self) -> int:
@@ -105,6 +108,8 @@ class SchedulerOutput:
     runtime_info: dict[str, Any] = field(default_factory=dict)
     # fused decode sub-steps in this dispatch (sampled arrives [K, S])
     num_steps: int = 1
+    # request_id -> (token_start, chunk_len, proposed tokens)
+    spec_proposals: dict[str, Any] = field(default_factory=dict)
 
     @property
     def is_empty(self) -> bool:

@@ -122,7 +122,16 @@ class Scheduler:
                 if (req.num_computed_tokens >= req.max_total_tokens - 1
                         or req.num_computed_tokens >= self.config.max_model_len):
                     continue
+                if getattr(req, "spec_inflight", False):
+                    # a speculative chunk is unresolved: scheduling ahead
+                    # would assume full acceptance
+                    continue
                 n = 1
+                props = self._ngram_propose(req)
+                if props:
+                    req.spec_tokens = props
+                    req.spec_inflight = True
+                    n = 1 + len(props)
             total = req.num_computed_tokens + n
             blocks = self.kv.allocate(req.request_id, total)
             if blocks is None:
@@ -222,12 +231,48 @@ class Scheduler:
                                  extra_steps=extra_steps)
         return out
 
+    # ------------------------------------------------ speculative decoding
+    def _ngram_propose(self, req: Request) -> list[int]:
+        """n-gram (prompt-lookup) proposal: when the request's state is
+        fully observed on host, match the trailing n-gram against the
+        context and propose its continuation (vLLM 'ngram' method)."""
+        k = self.config.num_speculative_tokens
+        if k <= 0:
+            return []
+        sp = req.sampling_params
+        # greedy-only, penalty-free for exact acceptance semantics
+        if (sp.temperature != 0.0 or sp.repetition_penalty != 1.0
+                or sp.presence_penalty != 0.0
+                or sp.frequency_penalty != 0.0):
+            return []
+        ids = req.all_token_ids
+        # next input token must be host-known (no pipelined unknowns)
+        if req.num_computed_tokens != len(ids) - 1:
+            return []
+        limit = min(req.max_total_tokens - 1, self.config.max_model_len)
+        k = min(k, limit - (req.num_computed_tokens + 1))
+        if k <= 0:
+            return []
+        hi = self.config.ngram_prompt_lookup_max
+        lo = self.config.ngram_prompt_lookup_min
+        for n in range(hi, lo - 1, -1):
+            if len(ids) <= n:
+                continue
+            pattern = ids[-n:]
+            for s in range(len(ids) - n - 1, -1, -1):
+                if ids[s:s + n] == pattern:
+                    cont = ids[s + n:s + n + k]
+                    if cont:
+                        return list(cont)
+        return []
+
     # -------------------------------------------------------------- update
     def update_from_output(
         self,
         scheduler_output: SchedulerOutput,
         sampled_tokens: np.ndarray,  # int32 [S] per-row sampled token
         eos_token_id: Optional[int] = None,
+        spec_tokens_full: Optional[np.ndarray] = None,  # int32 [T]
     ) -> list[Request]:
         """Consume one step's sampled tokens; returns requests that produced
         a new token this step (for output streaming). May lag behind
@@ -254,8 +299,39 @@ class Scheduler:
                 self._finish(req)
                 produced.append(req)
                 continue
+            spec = scheduler_output.spec_proposals.get(rid)
+            if spec is not None:
+                # speculative verification: accept the longest proposal
+                # prefix matched by the model's own greedy predictions,
+                # plus the bonus token; rewind KV accounting for rejects
+                req.spec_inflight = False
+                tstart, nrow, props = spec
+                if spec_tokens_full is None:
+                    continue
+                y = spec_tokens_full[tstart:tstart + nrow]
+                accepted = 0
+                for j in range(len(props)):
+                    if int(y[j]) == props[j]:
+                        accepted += 1
+                    else:
+                        break
+                chunk_start = chunk_end - nrow
+                req.num_computed_tokens = chunk_start + 1 + accepted
+                produced.append(req)
+                emitted = []
+                for tok in (int(x) for x in y[:accepted + 1]):
+                    req.output_token_ids.append(tok)
+                    emitted.append(tok)
+                    self._check_stop(req, tok, eos_token_id)
+                    if req.finished:
+                        break
+                req.last_new_tokens = emitted
+                if req.finished:
+                    self._finish(req)
+                continue
             tok = int(sampled_tokens[req.batch_row])
             req.output_token_ids.append(tok)
+            req.last_new_tokens = [tok]
             produced.append(req)
             self._check_stop(req, tok, eos_token_id)
             if req.finished:
@@ -289,6 +365,7 @@ class Scheduler:
 
     def _preempt(self, req: Request) -> None:
         self.num_preemptions += 1
+        req.spec_inflight = False
         self.running.remove(req)
         self._release(req)
         req.status = RequestStatus.PREEMPTED
@@ -352,6 +429,7 @@ class Scheduler:
                        if extra_steps else None)
 
         t = 0
+        spec_proposals: dict[str, tuple] = {}
         sched_ids: list[str] = []
         num_sched: dict[str, int] = {}
         rows: dict[str, int] = {}
@@ -368,10 +446,15 @@ class Scheduler:
             epochs[req.request_id] = req.sched_epoch
             start = req.num_computed_tokens
             all_ids = req.all_token_ids
+            spec = (req.spec_tokens
+                    if getattr(req, "spec_inflight", False) else None)
             for i in range(n):
                 pos = start + i
                 if pos < len(all_ids):
                     token_ids[t + i] = all_ids[pos]
+                elif spec is not None and pos - len(all_ids) < len(spec):
+                    # speculative proposal (verified this step)
+                    token_ids[t + i] = spec[pos - len(all_ids)]
                 else:
                     # token not yet observed on host: device gathers it
                     # from prev_sampled[row] (async pipelining)
@@ -385,6 +468,8 @@ class Scheduler:
                         mrope[:, t + i] = req.mrope_positions[:, pos]
                     else:
                         mrope[:, t + i] = pos + req.mrope_delta
+            if spec is not None:
+                spec_proposals[req.request_id] = (t, n, list(spec))
             # prompt-embeds overlay for this chunk
             if req.prompt_embeds is not None:
                 if embeds is None:
@@ -550,6 +635,7 @@ class Scheduler:
             deepstack_embeds=deepstack,
             num_steps=1 + extra_steps,
             extra_slots=extra_slots,
+            has_spec=bool(spec_proposals),
         )
         out = SchedulerOutput(
             descriptor=desc,
@@ -561,4 +647,5 @@ class Scheduler:
         out.chunk_ends = chunk_ends
         out.epochs = epochs
         out.num_steps = 1 + extra_steps
+        out.spec_proposals = spec_proposals
         return out

@@ -108,6 +108,8 @@ class EngineCore:
         if not sched_out.is_empty:
             sampled_dev, aux = self.runner.execute(sched_out.descriptor)
             self._collect_full_hidden(sched_out, aux)
+            if sched_out.spec_proposals:
+                sampled_dev = (sampled_dev, aux["spec_tokens"])
             self._inflight.append((sched_out, sampled_dev, aux))
         outputs: list[EngineCoreOutput] = []
         if len(self._inflight) > self.pipeline_depth:
@@ -125,12 +127,17 @@ class EngineCore:
         fetched = jax.device_get(tuple(s for _, s, _ in items))
         outputs: list[EngineCoreOutput] = []
         for (sched, _, aux), samp in zip(items, fetched):
+            spec_full = None
+            if isinstance(samp, tuple):  # speculative chunk
+                samp, spec_full = samp
+                spec_full = np.asarray(spec_full)
             samp = np.asarray(samp)
             if samp.ndim == 2:  # fused multi-step window
                 for sub in samp:
                     outputs.extend(self._process_results(sched, sub, aux))
             else:
-                outputs.extend(self._process_results(sched, samp, aux))
+                outputs.extend(self._process_results(
+                    sched, samp, aux, spec_full))
         return outputs
 
     def _collect_full_hidden(self, sched_out, aux) -> None:
@@ -159,10 +166,11 @@ class EngineCore:
                             aux[src][start:start + n_prompt])
 
     def _process_results(
-        self, sched_out, sampled: np.ndarray, aux
+        self, sched_out, sampled: np.ndarray, aux, spec_full=None
     ) -> list[EngineCoreOutput]:
         produced = self.scheduler.update_from_output(
-            sched_out, sampled, eos_token_id=self.eos_token_id
+            sched_out, sampled, eos_token_id=self.eos_token_id,
+            spec_tokens_full=spec_full,
         )
         outputs: list[EngineCoreOutput] = []
         want_mm = self.output_type != "text"
@@ -180,9 +188,8 @@ class EngineCore:
                     val = arr[row]
                     req.multimodal_outputs.setdefault(key, []).append(val)
                     mm[key] = val
-            new_tokens = (
-                [req.output_token_ids[-1]] if req.output_token_ids else []
-            )
+            new_tokens = list(getattr(req, "last_new_tokens", None) or (
+                [req.output_token_ids[-1]] if req.output_token_ids else []))
             outputs.append(
                 EngineCoreOutput(
                     request_id=req.request_id,

@@ -138,7 +138,7 @@ class ModelRunner:
         has_add: bool = False, has_deepstack: bool = False,
         donate: bool = True,
         need_penalties: bool = True, all_greedy: bool = False,
-        maxb: int = 0, num_steps: int = 1,
+        maxb: int = 0, num_steps: int = 1, has_spec: bool = False,
     ) -> Callable:
         import inspect
 
@@ -293,6 +293,13 @@ class ModelRunner:
                 # (the thinker_reply_part "token embeds" component)
                 "last_input_embed": embeds[d["logits_indices"]],
             }
+            if has_spec:
+                # per-position greedy predictions over the whole token
+                # axis for host-side speculative verification
+                full_logits = model.compute_logits(
+                    params, hidden, tp_axis=tp_axis)
+                aux["spec_tokens"] = jnp.argmax(
+                    full_logits, axis=-1).astype(jnp.int32)
             if getattr(model, "emit_full_hidden", False):
                 aux["hidden_tokens"] = hidden  # [T, H] all tokens
                 aux["embed_tokens_full"] = embeds  # [T, H] input embeds
@@ -350,6 +357,8 @@ class ModelRunner:
         if has_deepstack:
             d_spec["deepstack_embeds"] = rep
         aux_spec = {"last_hidden": rep, "last_input_embed": rep}
+        if has_spec:
+            aux_spec["spec_tokens"] = rep
         if getattr(self.model, "emit_full_hidden", False):
             aux_spec["hidden_tokens"] = rep
             aux_spec["embed_tokens_full"] = rep
@@ -417,8 +426,10 @@ class ModelRunner:
         has_deepstack = "deepstack_embeds" in d
         maxb = int(desc.block_tables.shape[1])
         num_steps = int(getattr(desc, "num_steps", 1))
+        has_spec = bool(getattr(desc, "has_spec", False))
         key = (has_embeds, has_mrope, has_add, has_deepstack,
-               desc.need_penalties, desc.all_greedy, maxb, num_steps)
+               desc.need_penalties, desc.all_greedy, maxb, num_steps,
+               has_spec)
         step_fn = self._step_fns.get(key)
         if step_fn is None:
             step_fn = self._step_fns[key] = self._build_step_fn(
@@ -426,7 +437,7 @@ class ModelRunner:
                 has_deepstack=has_deepstack,
                 need_penalties=desc.need_penalties,
                 all_greedy=desc.all_greedy, maxb=maxb,
-                num_steps=num_steps)
+                num_steps=num_steps, has_spec=has_spec)
         (sampled, self.kv_cache, self.sampling_state,
          self.prev_sampled, aux) = step_fn(
             self.params, self.kv_cache, self.sampling_state,
