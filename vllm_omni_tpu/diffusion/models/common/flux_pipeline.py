@@ -230,7 +230,15 @@ class FluxLikePipeline:
         v = self.vae.cfg
         z = unpack_latents(latents, gh, gw).astype(jnp.float32)
         z = z / v.scaling_factor + v.shift_factor
-        image = jax.block_until_ready(self._decode(self.params["vae"], z))
+        from vllm_omni_tpu.diffusion.models.common.autoencoder_kl import (
+            decode_with_memory_opts,
+        )
+
+        image = jax.block_until_ready(decode_with_memory_opts(
+            self.vae, self.params["vae"], z,
+            use_slicing=self.od_config.vae_use_slicing,
+            use_tiling=self.od_config.vae_use_tiling,
+            decode_fn=self._decode))
         metrics.vae_latency = time.perf_counter() - t0
         metrics.e2e_latency = time.perf_counter() - t_start
         return image, metrics
