@@ -209,3 +209,37 @@ def test_suppress_token_ids():
                        suppress_token_ids=list(base[:2])))[0] \
         .outputs[0].token_ids
     assert base[0] not in sup and base[1] not in sup
+
+
+def test_logprobs():
+    import numpy as np
+
+    from vllm_omni_tpu.config.engine import EngineArgs
+    from vllm_omni_tpu.engine.llm import LLM
+    from vllm_omni_tpu.sampling_params import SamplingParams
+
+    cfg = {
+        "architectures": ["Qwen2ForCausalLM"], "hidden_size": 64,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "vocab_size": 128,
+        "max_position_embeddings": 128, "intermediate_size": 128,
+        "eos_token_id": 127,
+    }
+    llm = LLM(engine_args=EngineArgs(
+        model="t", hf_config=cfg, dtype="float32", max_num_seqs=2,
+        max_num_batched_tokens=64, block_size=8, num_kv_cache_blocks=32),
+        load_weights=False)
+    out = llm.generate(
+        {"prompt_token_ids": [1, 2, 3]},
+        SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True,
+                       detokenize=False, logprobs=3))[0].outputs[0]
+    assert out.logprobs is not None and len(out.logprobs) == 5
+    for tok, entry in zip(out.token_ids, out.logprobs):
+        assert tok in entry  # sampled token always present
+        assert 3 <= len(entry) <= 4
+        assert all(v <= 0.0 for v in entry.values())
+        # greedy: sampled token has the max logprob
+        assert entry[tok] == max(entry.values())
+    probs = np.exp(np.asarray(
+        [sorted(e.values(), reverse=True) for e in out.logprobs]))
+    assert (probs <= 1.0 + 1e-6).all()

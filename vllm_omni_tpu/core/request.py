@@ -73,6 +73,7 @@ class Request:
     spec_tokens: Optional[list[int]] = None
     spec_inflight: bool = False
     last_new_tokens: Optional[list[int]] = None
+    logprobs: Optional[list[dict[int, float]]] = None
     # epoch guards stale in-flight step results after recompute-preemption
     # (async pipelined scheduling)
     sched_epoch: int = 0

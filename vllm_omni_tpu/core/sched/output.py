@@ -80,6 +80,10 @@ class BatchDescriptor:
     # speculative chunks present: the step also returns per-position
     # argmax over the whole token axis for host-side verification
     has_spec: bool = False
+    # max top-logprobs requested across the batch (0 = off)
+    num_logprobs: int = 0
+    # any row has suppress_token_ids (compiles the scatter out otherwise)
+    has_suppress: bool = False
 
     @property
     def padded_num_tokens(self) -> int:

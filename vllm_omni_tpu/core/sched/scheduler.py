@@ -205,6 +205,7 @@ class Scheduler:
                 n == 1
                 and req.num_computed_tokens >= req.num_prompt_tokens
                 and getattr(req, "decode_embeds", None) is None
+                and not req.sampling_params.logprobs
                 for req, n in scheduled
             )
             if eligible:
@@ -243,7 +244,7 @@ class Scheduler:
         # greedy-only, penalty-free for exact acceptance semantics
         if (sp.temperature != 0.0 or sp.repetition_penalty != 1.0
                 or sp.presence_penalty != 0.0
-                or sp.frequency_penalty != 0.0):
+                or sp.frequency_penalty != 0.0 or sp.logprobs):
             return []
         ids = req.all_token_ids
         # next input token must be host-known (no pipelined unknowns)
@@ -429,6 +430,8 @@ class Scheduler:
                        if extra_steps else None)
 
         t = 0
+        num_logprobs = 0
+        has_suppress = False
         spec_proposals: dict[str, tuple] = {}
         sched_ids: list[str] = []
         num_sched: dict[str, int] = {}
@@ -560,6 +563,10 @@ class Scheduler:
             seeds[row] = np.uint32(sp.seed if sp.seed is not None else 0)
             for si, tok in enumerate((sp.suppress_token_ids or [])[:8]):
                 suppress_ids[row, si] = tok
+            if sp.logprobs:
+                num_logprobs = max(num_logprobs, min(int(sp.logprobs), 8))
+            if sp.suppress_token_ids:
+                has_suppress = True
             # number of tokens generated before the sample this chunk makes
             step_counters[row] = max(0, start + n - req.num_prompt_tokens)
             # schedule-time accounting (results may arrive steps later)
@@ -636,6 +643,8 @@ class Scheduler:
             num_steps=1 + extra_steps,
             extra_slots=extra_slots,
             has_spec=bool(spec_proposals),
+            num_logprobs=num_logprobs,
+            has_suppress=has_suppress,
         )
         out = SchedulerOutput(
             descriptor=desc,

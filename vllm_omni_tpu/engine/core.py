@@ -110,6 +110,10 @@ class EngineCore:
             self._collect_full_hidden(sched_out, aux)
             if sched_out.spec_proposals:
                 sampled_dev = (sampled_dev, aux["spec_tokens"])
+            if "logprob_ids" in aux:
+                sampled_dev = (sampled_dev, {
+                    "ids": aux["logprob_ids"], "vals": aux["logprob_vals"],
+                    "sampled": aux["sampled_logprob"]})
             self._inflight.append((sched_out, sampled_dev, aux))
         outputs: list[EngineCoreOutput] = []
         if len(self._inflight) > self.pipeline_depth:
@@ -128,6 +132,9 @@ class EngineCore:
         outputs: list[EngineCoreOutput] = []
         for (sched, _, aux), samp in zip(items, fetched):
             spec_full = None
+            logprobs = None
+            if isinstance(samp, tuple) and isinstance(samp[1], dict):
+                samp, logprobs = samp
             if isinstance(samp, tuple):  # speculative chunk
                 samp, spec_full = samp
                 spec_full = np.asarray(spec_full)
@@ -137,7 +144,7 @@ class EngineCore:
                     outputs.extend(self._process_results(sched, sub, aux))
             else:
                 outputs.extend(self._process_results(
-                    sched, samp, aux, spec_full))
+                    sched, samp, aux, spec_full, logprobs))
         return outputs
 
     def _collect_full_hidden(self, sched_out, aux) -> None:
@@ -166,7 +173,8 @@ class EngineCore:
                             aux[src][start:start + n_prompt])
 
     def _process_results(
-        self, sched_out, sampled: np.ndarray, aux, spec_full=None
+        self, sched_out, sampled: np.ndarray, aux, spec_full=None,
+        logprobs=None,
     ) -> list[EngineCoreOutput]:
         produced = self.scheduler.update_from_output(
             sched_out, sampled, eos_token_id=self.eos_token_id,
@@ -190,6 +198,19 @@ class EngineCore:
                     mm[key] = val
             new_tokens = list(getattr(req, "last_new_tokens", None) or (
                 [req.output_token_ids[-1]] if req.output_token_ids else []))
+            if (logprobs is not None and req.sampling_params.logprobs
+                    and new_tokens):
+                row = sched_out.rows[req.request_id]
+                k = int(req.sampling_params.logprobs)
+                entry = {int(i): float(v) for i, v in zip(
+                    np.asarray(logprobs["ids"])[row][:k],
+                    np.asarray(logprobs["vals"])[row][:k])}
+                tok = new_tokens[-1]
+                entry.setdefault(
+                    int(tok), float(np.asarray(logprobs["sampled"])[row]))
+                if req.logprobs is None:
+                    req.logprobs = []
+                req.logprobs.append(entry)
             outputs.append(
                 EngineCoreOutput(
                     request_id=req.request_id,

@@ -242,6 +242,7 @@ class LLM:
             finish_reason=finish_reason if finished else None,
             stop_reason=req.stop_reason or detok.stopped_on,
             multimodal_output=mm,
+            logprobs=list(req.logprobs) if req.logprobs else None,
         )
         return RequestOutput(
             request_id=req.request_id,

@@ -139,6 +139,7 @@ class ModelRunner:
         donate: bool = True,
         need_penalties: bool = True, all_greedy: bool = False,
         maxb: int = 0, num_steps: int = 1, has_spec: bool = False,
+        num_logprobs: int = 0, has_suppress: bool = True,
     ) -> Callable:
         import inspect
 
@@ -269,12 +270,13 @@ class ModelRunner:
                     d["repetition_penalty"], d["presence_penalty"],
                     d["frequency_penalty"],
                 )
-            # per-row suppressed tokens (HF suppress_tokens parity)
-            sup = d["suppress_ids"]
-            rows_i = jnp.arange(S)[:, None]
-            logits = logits.at[
-                rows_i, jnp.clip(sup, 0, logits.shape[-1] - 1)
-            ].add(jnp.where(sup >= 0, -1e30, 0.0))
+            if has_suppress:
+                # per-row suppressed tokens (HF suppress_tokens parity)
+                sup = d["suppress_ids"]
+                rows_i = jnp.arange(S)[:, None]
+                logits = logits.at[
+                    rows_i, jnp.clip(sup, 0, logits.shape[-1] - 1)
+                ].add(jnp.where(sup >= 0, -1e30, 0.0))
             if all_greedy:
                 sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             else:
@@ -300,6 +302,14 @@ class ModelRunner:
                     params, hidden, tp_axis=tp_axis)
                 aux["spec_tokens"] = jnp.argmax(
                     full_logits, axis=-1).astype(jnp.int32)
+            if num_logprobs > 0:
+                logz = jax.nn.logsumexp(logits, axis=-1)  # [S]
+                top_vals, top_ids = jax.lax.top_k(logits, num_logprobs)
+                aux["logprob_ids"] = top_ids.astype(jnp.int32)
+                aux["logprob_vals"] = top_vals - logz[:, None]
+                aux["sampled_logprob"] = (
+                    jnp.take_along_axis(
+                        logits, sampled[:, None], axis=-1)[:, 0] - logz)
             if getattr(model, "emit_full_hidden", False):
                 aux["hidden_tokens"] = hidden  # [T, H] all tokens
                 aux["embed_tokens_full"] = embeds  # [T, H] input embeds
@@ -427,9 +437,11 @@ class ModelRunner:
         maxb = int(desc.block_tables.shape[1])
         num_steps = int(getattr(desc, "num_steps", 1))
         has_spec = bool(getattr(desc, "has_spec", False))
+        num_logprobs = int(getattr(desc, "num_logprobs", 0))
+        has_suppress = bool(getattr(desc, "has_suppress", True))
         key = (has_embeds, has_mrope, has_add, has_deepstack,
                desc.need_penalties, desc.all_greedy, maxb, num_steps,
-               has_spec)
+               has_spec, num_logprobs, has_suppress)
         step_fn = self._step_fns.get(key)
         if step_fn is None:
             step_fn = self._step_fns[key] = self._build_step_fn(
@@ -437,7 +449,8 @@ class ModelRunner:
                 has_deepstack=has_deepstack,
                 need_penalties=desc.need_penalties,
                 all_greedy=desc.all_greedy, maxb=maxb,
-                num_steps=num_steps, has_spec=has_spec)
+                num_steps=num_steps, has_spec=has_spec,
+                num_logprobs=num_logprobs, has_suppress=has_suppress)
         (sampled, self.kv_cache, self.sampling_state,
          self.prev_sampled, aux) = step_fn(
             self.params, self.kv_cache, self.sampling_state,
