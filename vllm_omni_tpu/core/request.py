@@ -74,6 +74,10 @@ class Request:
     spec_inflight: bool = False
     last_new_tokens: Optional[list[int]] = None
     logprobs: Optional[list[dict[int, float]]] = None
+    # grammar-constrained decoding (structured outputs): a TokenFSM and
+    # the current DFA state (advances per sampled token host-side)
+    grammar_fsm: Optional[Any] = None
+    grammar_state: int = 0
     # epoch guards stale in-flight step results after recompute-preemption
     # (async pipelined scheduling)
     sched_epoch: int = 0

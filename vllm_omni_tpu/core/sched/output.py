@@ -84,6 +84,10 @@ class BatchDescriptor:
     num_logprobs: int = 0
     # any row has suppress_token_ids (compiles the scatter out otherwise)
     has_suppress: bool = False
+    # grammar-constrained decoding: packed uint32 allowed-token bitmask
+    # [S, ceil(V/32)] (all-ones on unconstrained rows); None = no grammar
+    grammar_bits: Optional[np.ndarray] = None
+    has_grammar: bool = False
 
     @property
     def padded_num_tokens(self) -> int:

@@ -16,7 +16,7 @@ across steps without re-indexing.
 from __future__ import annotations
 
 from collections import deque
-from typing import Optional
+from typing import Any, Optional
 
 import numpy as np
 
@@ -206,6 +206,7 @@ class Scheduler:
                 and req.num_computed_tokens >= req.num_prompt_tokens
                 and getattr(req, "decode_embeds", None) is None
                 and not req.sampling_params.logprobs
+                and getattr(req, "grammar_fsm", None) is None
                 for req, n in scheduled
             )
             if eligible:
@@ -244,7 +245,8 @@ class Scheduler:
         # greedy-only, penalty-free for exact acceptance semantics
         if (sp.temperature != 0.0 or sp.repetition_penalty != 1.0
                 or sp.presence_penalty != 0.0
-                or sp.frequency_penalty != 0.0 or sp.logprobs):
+                or sp.frequency_penalty != 0.0 or sp.logprobs
+                or getattr(req, "grammar_fsm", None) is not None):
             return []
         ids = req.all_token_ids
         # next input token must be host-known (no pipelined unknowns)
@@ -335,9 +337,31 @@ class Scheduler:
             req.last_new_tokens = [tok]
             produced.append(req)
             self._check_stop(req, tok, eos_token_id)
+            fsm = getattr(req, "grammar_fsm", None)
+            if fsm is not None and not req.finished:
+                ns = fsm.next_state(req.grammar_state, tok)
+                if ns < 0:
+                    # only EOS (handled by _check_stop) or a dead state can
+                    # land here: terminate cleanly
+                    req.status = RequestStatus.FINISHED_STOPPED
+                    req.stop_reason = "grammar"
+                else:
+                    req.grammar_state = ns
             if req.finished:
                 self._finish(req)
         return produced
+
+    def needs_sync(self) -> bool:
+        """True when scheduling must observe all in-flight results first
+        (grammar masks depend on the host-side FSM state, which advances
+        per sampled token)."""
+        return any(
+            getattr(r, "grammar_fsm", None) is not None
+            for r in self.running
+        ) or any(
+            getattr(r, "grammar_fsm", None) is not None
+            for r in self.waiting
+        )
 
     def take_finished(self) -> list[str]:
         out = self._finished_this_step
@@ -432,6 +456,7 @@ class Scheduler:
         t = 0
         num_logprobs = 0
         has_suppress = False
+        grammar_rows: list[tuple[int, Any]] = []  # (row, mask) pairs
         spec_proposals: dict[str, tuple] = {}
         sched_ids: list[str] = []
         num_sched: dict[str, int] = {}
@@ -567,6 +592,10 @@ class Scheduler:
                 num_logprobs = max(num_logprobs, min(int(sp.logprobs), 8))
             if sp.suppress_token_ids:
                 has_suppress = True
+            fsm = getattr(req, "grammar_fsm", None)
+            if fsm is not None and do_sample[row]:
+                grammar_rows.append(
+                    (row, fsm.allowed_mask(req.grammar_state)))
             # number of tokens generated before the sample this chunk makes
             step_counters[row] = max(0, start + n - req.num_prompt_tokens)
             # schedule-time accounting (results may arrive steps later)
@@ -605,6 +634,15 @@ class Scheduler:
             width *= 2
         width = min(width, self.max_blocks_per_seq)
         block_tables = block_tables[:, :width]
+
+        grammar_bits = None
+        if grammar_rows:
+            # packed allowed-token bitmask per row; all-ones (everything
+            # allowed) on unconstrained rows
+            W = int(grammar_rows[0][1].shape[0])
+            grammar_bits = np.full((S, W), 0xFFFFFFFF, np.uint32)
+            for row, mask in grammar_rows:
+                grammar_bits[row] = mask
 
         desc = BatchDescriptor(
             token_ids=token_ids,
@@ -645,6 +683,8 @@ class Scheduler:
             has_spec=bool(spec_proposals),
             num_logprobs=num_logprobs,
             has_suppress=has_suppress,
+            grammar_bits=grammar_bits,
+            has_grammar=grammar_bits is not None,
         )
         out = SchedulerOutput(
             descriptor=desc,

@@ -104,6 +104,12 @@ class EngineCore:
         """Schedule + launch one step; drain (sync) results of steps that
         fell out of the pipeline window. Outputs lag schedule by up to
         `pipeline_depth` steps but token streams are identical."""
+        outputs: list[EngineCoreOutput] = []
+        if self._inflight and self.scheduler.needs_sync():
+            # grammar-constrained requests: masks are built from the
+            # host-side FSM state, so scheduling must observe every
+            # in-flight result first (pipelining suspends while active)
+            outputs = self._drain_many(len(self._inflight))
         sched_out = self.scheduler.schedule()
         if not sched_out.is_empty:
             sampled_dev, aux = self.runner.execute(sched_out.descriptor)
@@ -115,13 +121,12 @@ class EngineCore:
                     "ids": aux["logprob_ids"], "vals": aux["logprob_vals"],
                     "sampled": aux["sampled_logprob"]})
             self._inflight.append((sched_out, sampled_dev, aux))
-        outputs: list[EngineCoreOutput] = []
         if len(self._inflight) > self.pipeline_depth:
             # drain half the window in ONE batched fetch (each device
             # round-trip has a fixed latency cost; amortize it)
-            outputs = self._drain_many(max(1, (self.pipeline_depth + 1) // 2))
+            outputs += self._drain_many(max(1, (self.pipeline_depth + 1) // 2))
         elif sched_out.is_empty and self._inflight:
-            outputs = self._drain_many(len(self._inflight))
+            outputs += self._drain_many(len(self._inflight))
         return outputs
 
     def _drain_many(self, k: int) -> list[EngineCoreOutput]:

@@ -159,6 +159,9 @@ class LLM:
             deepstack_embeds=deepstack_embeds,
             sampling_params=sampling_params.clone(),
         )
+        if sampling_params.structured_outputs is not None:
+            req.grammar_fsm = self._compile_grammar(
+                sampling_params.structured_outputs)
         detok = IncrementalDetokenizer(
             self.tokenizer if sampling_params.detokenize else None,
             stop=list(sampling_params.stop or []),
@@ -167,6 +170,34 @@ class LLM:
         self._active[request_id] = (req, detok)
         self.core.add_request(req)
         return request_id
+
+    def _compile_grammar(self, spec: dict):
+        """Compile a structured_outputs spec into a TokenFSM (cached:
+        DFA construction + the vocab trie walk are one-time costs)."""
+        import json as _json
+
+        if self.tokenizer is None:
+            raise ValueError("structured_outputs requires a tokenizer")
+        key = _json.dumps(spec, sort_keys=True, default=str)
+        cache = getattr(self, "_grammar_cache", None)
+        if cache is None:
+            cache = self._grammar_cache = {}
+        fsm = cache.get(key)
+        if fsm is None:
+            from vllm_omni_tpu.structured import compile_fsm
+            from vllm_omni_tpu.structured.fsm import (
+                token_bytes_from_tokenizer,
+            )
+
+            tb = getattr(self, "_token_bytes", None)
+            if tb is None:
+                tb = self._token_bytes = token_bytes_from_tokenizer(
+                    self.tokenizer)
+            eos = self.core.eos_token_id
+            if eos is None:
+                eos = getattr(self.tokenizer, "eos_token_id", 0) or 0
+            fsm = cache[key] = compile_fsm(spec, tb, int(eos))
+        return fsm
 
     def abort_request(self, request_id: str) -> None:
         self.core.abort_request(request_id)

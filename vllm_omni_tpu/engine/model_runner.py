@@ -140,6 +140,7 @@ class ModelRunner:
         need_penalties: bool = True, all_greedy: bool = False,
         maxb: int = 0, num_steps: int = 1, has_spec: bool = False,
         num_logprobs: int = 0, has_suppress: bool = True,
+        grammar_words: int = 0,
     ) -> Callable:
         import inspect
 
@@ -170,7 +171,8 @@ class ModelRunner:
             dominates decode otherwise)."""
             ints = d["ints"]
             floats = d["floats"]
-            T = (ints.shape[0] - (17 * S + 1) - S * MAXB) // (5 + num_steps)
+            T = (ints.shape[0] - (17 * S + 1) - S * MAXB
+                 - S * grammar_words) // (5 + num_steps)
             o = 0
 
             def take(n):
@@ -198,6 +200,9 @@ class ModelRunner:
                 "suppress_ids": take(S * 8).reshape(S, 8),
                 "block_tables": take(S * MAXB).reshape(S, MAXB),
             }
+            if grammar_words:
+                u["grammar_bits"] = take(
+                    S * grammar_words).reshape(S, grammar_words)
             if num_steps > 1:
                 u["extra_slots"] = take(
                     (num_steps - 1) * T).reshape(num_steps - 1, T)
@@ -277,6 +282,15 @@ class ModelRunner:
                 logits = logits.at[
                     rows_i, jnp.clip(sup, 0, logits.shape[-1] - 1)
                 ].add(jnp.where(sup >= 0, -1e30, 0.0))
+            if grammar_words:
+                # grammar-constrained decoding: unpack the per-row packed
+                # allowed-token bitmask and mask disallowed logits
+                # (reference gpu_ar_model_runner.py:268-330 xgrammar path)
+                V = logits.shape[-1]
+                ids = jnp.arange(V, dtype=jnp.int32)
+                words = d["grammar_bits"][:, ids >> 5]  # [S, V] int32
+                bit = (words >> (ids & 31)) & 1
+                logits = jnp.where(bit == 1, logits, -1e30)
             if all_greedy:
                 sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             else:
@@ -404,7 +418,9 @@ class ModelRunner:
              else np.full((desc.q_lens.shape[0], 8), -1, np.int32)
              ).reshape(-1),
             desc.block_tables.reshape(-1),
-        ] + ([desc.extra_slots.reshape(-1)]
+        ] + ([desc.grammar_bits.view(np.int32).reshape(-1)]
+             if getattr(desc, "grammar_bits", None) is not None else []
+        ) + ([desc.extra_slots.reshape(-1)]
              if desc.extra_slots is not None else [])
         ).astype(np.int32, copy=False)
         floats = np.concatenate([
@@ -439,9 +455,11 @@ class ModelRunner:
         has_spec = bool(getattr(desc, "has_spec", False))
         num_logprobs = int(getattr(desc, "num_logprobs", 0))
         has_suppress = bool(getattr(desc, "has_suppress", True))
+        gb = getattr(desc, "grammar_bits", None)
+        grammar_words = int(gb.shape[1]) if gb is not None else 0
         key = (has_embeds, has_mrope, has_add, has_deepstack,
                desc.need_penalties, desc.all_greedy, maxb, num_steps,
-               has_spec, num_logprobs, has_suppress)
+               has_spec, num_logprobs, has_suppress, grammar_words)
         step_fn = self._step_fns.get(key)
         if step_fn is None:
             step_fn = self._step_fns[key] = self._build_step_fn(
@@ -450,7 +468,8 @@ class ModelRunner:
                 need_penalties=desc.need_penalties,
                 all_greedy=desc.all_greedy, maxb=maxb,
                 num_steps=num_steps, has_spec=has_spec,
-                num_logprobs=num_logprobs, has_suppress=has_suppress)
+                num_logprobs=num_logprobs, has_suppress=has_suppress,
+                grammar_words=grammar_words)
         (sampled, self.kv_cache, self.sampling_state,
          self.prev_sampled, aux) = step_fn(
             self.params, self.kv_cache, self.sampling_state,

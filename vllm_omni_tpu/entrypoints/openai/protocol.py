@@ -37,6 +37,14 @@ class ChatCompletionRequest(BaseModel):
     stream: bool = False
     modalities: Optional[list[str]] = None  # ["text"], ["text", "audio"]
     audio: Optional[dict[str, Any]] = None  # {"voice": ..., "format": ...}
+    # structured outputs: OpenAI response_format
+    # {"type": "json_schema", "json_schema": {"schema": {...}}} or
+    # {"type": "json_object"}; plus the vLLM guided_* aliases
+    response_format: Optional[dict[str, Any]] = None
+    structured_outputs: Optional[dict[str, Any]] = None
+    guided_json: Optional[Any] = None
+    guided_regex: Optional[str] = None
+    guided_choice: Optional[list[str]] = None
     # Omni extension: per-stage sampling overrides keyed by stage id
     # (reference serving_chat.py:459 request-level overrides)
     stage_sampling_params: Optional[dict[str, dict[str, Any]]] = None

@@ -139,6 +139,9 @@ class OmniOpenAIServingChat:
             v = getattr(request, k)
             if v is not None:
                 base_overrides[k] = v
+        so = self._structured_spec(request)
+        if so is not None:
+            base_overrides["structured_outputs"] = so
 
         out: dict[int, SamplingParams] = {}
         if base_overrides:
@@ -146,6 +149,31 @@ class OmniOpenAIServingChat:
         for sid, over in (request.stage_sampling_params or {}).items():
             out[int(sid)] = SamplingParams.from_dict(over)
         return out
+
+    @staticmethod
+    def _structured_spec(request: ChatCompletionRequest):
+        """Normalize the request's constrained-decoding surface to the
+        engine's structured_outputs dict: OpenAI response_format
+        (json_schema / json_object) and the vLLM guided_* aliases."""
+        if request.structured_outputs is not None:
+            return request.structured_outputs
+        if request.guided_json is not None:
+            return {"json": request.guided_json}
+        if request.guided_regex is not None:
+            return {"regex": request.guided_regex}
+        if request.guided_choice is not None:
+            return {"choice": request.guided_choice}
+        rf = request.response_format
+        if rf:
+            kind = rf.get("type")
+            if kind == "json_schema":
+                js = rf.get("json_schema") or {}
+                schema = js.get("schema") or js
+                return {"json": schema}
+            if kind == "json_object":
+                # any JSON object: unconstrained values
+                return {"json": {"type": "object", "properties": {}}}
+        return None
 
     def _render_prompt(self, messages: list[dict[str, str]]):
         if self.tokenizer is not None:

@@ -35,6 +35,10 @@ class SamplingParams:
     ignore_eos: bool = False
     seed: Optional[int] = None
     logprobs: Optional[int] = None
+    # structured (grammar-constrained) outputs: {"json": schema-dict-or-str}
+    # | {"regex": pattern} | {"choice": [strings]} — the vLLM
+    # StructuredOutputsParams surface the reference plumbs to xgrammar
+    structured_outputs: Optional[dict] = None
     detokenize: bool = True
     skip_special_tokens: bool = True
     # Omni extension: which output the stage emits ("text", "latent",
@@ -64,6 +68,12 @@ class SamplingParams:
             self.suppress_token_ids = []
         if len(self.suppress_token_ids) > 8:
             raise ValueError("at most 8 suppress_token_ids supported")
+        if self.structured_outputs is not None:
+            keys = set(self.structured_outputs) & {"json", "regex", "choice"}
+            if not keys:
+                raise ValueError(
+                    "structured_outputs needs one of json/regex/choice "
+                    f"(got {list(self.structured_outputs)})")
 
     @property
     def greedy(self) -> bool:
@@ -75,6 +85,8 @@ class SamplingParams:
             stop=list(self.stop or []),
             stop_token_ids=list(self.stop_token_ids or []),
             suppress_token_ids=list(self.suppress_token_ids or []),
+            structured_outputs=(dict(self.structured_outputs)
+                                if self.structured_outputs else None),
             extra_args=dict(self.extra_args),
         )
 
