@@ -82,6 +82,12 @@ class OmniDiffusionConfig:
     # VAE memory knobs (reference data.py:237-455).
     vae_use_slicing: bool = False
     vae_use_tiling: bool = False
+    # LoRA (reference data.py:282-286): fused into base weights at load
+    # (see diffusion/lora.py) — zero hot-path cost.
+    lora_path: Optional[str] = None
+    lora_nickname: str = "default"
+    lora_target_modules: Optional[list[str]] = None
+    lora_scale: float = 1.0
     # Wan2.2 MoE-DiT knobs.
     boundary_ratio: Optional[float] = None
     flow_shift: Optional[float] = None

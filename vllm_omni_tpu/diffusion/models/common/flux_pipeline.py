@@ -86,10 +86,13 @@ class FluxLikePipeline:
                 _read_safetensors,
             )
 
+            from vllm_omni_tpu.diffusion.lora import merge_lora_for
+
             self.params = {
                 "transformer": self.transformer.load_from_state_dict(
-                    _read_safetensors(os.path.join(
-                        od_config.model, self.transformer_subdir))),
+                    merge_lora_for(_read_safetensors(os.path.join(
+                        od_config.model, self.transformer_subdir)),
+                        od_config)),
                 "vae": self.vae.load_from_state_dict(_read_safetensors(
                     os.path.join(od_config.model, "vae"))),
             }

@@ -86,10 +86,13 @@ def _set_path(tree: dict, dotted: str, value):
 
 
 def load_qwen_image_transformer_weights(
-    model_dir: str, cfg, dtype, prefix: str = ""
+    model_dir: str, cfg, dtype, prefix: str = "", od_config=None
 ) -> dict[str, Any]:
+    from vllm_omni_tpu.diffusion.lora import merge_lora_for
+
     sub = os.path.join(model_dir, "transformer")
     tensors = _collect(sub if os.path.isdir(sub) else model_dir)
+    tensors = merge_lora_for(tensors, od_config)
     L = cfg.num_layers
     out: dict[str, Any] = {}
     per_layer: dict[str, dict[int, np.ndarray]] = {}

@@ -22,14 +22,18 @@ def _read_safetensors(path: str) -> dict[str, np.ndarray]:
     return {k: v for k, v in iter_safetensors(path)}
 
 
-def load_sd3_transformer_weights(path: str, model, prefix: str = ""):
+def load_sd3_transformer_weights(path: str, model, prefix: str = "",
+                                 od_config=None):
     """path: diffusers model root or the transformer subfolder."""
+    from vllm_omni_tpu.diffusion.lora import merge_lora_for
+
     sub = os.path.join(path, "transformer")
     root = sub if os.path.isdir(sub) else path
     sd = _read_safetensors(root)
     if prefix:
         sd = {k[len(prefix):]: v for k, v in sd.items()
               if k.startswith(prefix)}
+    sd = merge_lora_for(sd, od_config)
     return sd3_transformer_params_from_state_dict(model, sd)
 
 
@@ -167,7 +171,8 @@ def load_sd3_weights(model_root: str, pipeline) -> dict[str, Any]:
     """Load transformer + VAE weights from a diffusers dir."""
     return {
         "transformer": load_sd3_transformer_weights(
-            model_root, pipeline.transformer),
+            model_root, pipeline.transformer,
+            od_config=getattr(pipeline, "od_config", None)),
         "vae": pipeline.vae.load_from_state_dict(
             _read_safetensors(os.path.join(model_root, "vae"))),
     }

@@ -131,11 +131,15 @@ def wan_transformer_params_from_state_dict(model, sd: dict[str, Any]):
 
 
 def load_wan_transformer_weights(path: str, model,
-                                 subfolder: str = "transformer"):
+                                 subfolder: str = "transformer",
+                                 od_config=None):
+    from vllm_omni_tpu.diffusion.lora import merge_lora_for
+
     sub = os.path.join(path, subfolder)
     root = sub if os.path.isdir(sub) else path
     return wan_transformer_params_from_state_dict(
-        model, _read_safetensors(root))
+        model, merge_lora_for(_read_safetensors(root), od_config,
+                              component=subfolder))
 
 
 def read_wan_configs(model_root: str, tf_cfg, vae_cfg, sched_cfg):
@@ -177,14 +181,16 @@ def load_wan_weights(model_root: str, pipeline) -> dict[str, Any]:
         load_qwen_image_vae_weights,
     )
 
+    od = getattr(pipeline, "od_config", None)
     params = {
         "transformer": load_wan_transformer_weights(
-            model_root, pipeline.transformer),
+            model_root, pipeline.transformer, od_config=od),
         "transformer_2": None,
         "vae": load_qwen_image_vae_weights(
             model_root, pipeline.vae.cfg, jnp.float32),
     }
     if pipeline.has_transformer_2:
         params["transformer_2"] = load_wan_transformer_weights(
-            model_root, pipeline.transformer, subfolder="transformer_2")
+            model_root, pipeline.transformer, subfolder="transformer_2",
+            od_config=od)
     return params

@@ -94,10 +94,14 @@ def z_image_params_from_state_dict(model, sd: dict[str, Any]):
 
 
 def load_z_image_transformer_weights(path: str, model,
-                                     subfolder: str = "transformer"):
+                                     subfolder: str = "transformer",
+                                     od_config=None):
+    from vllm_omni_tpu.diffusion.lora import merge_lora_for
+
     sub = os.path.join(path, subfolder)
     root = sub if os.path.isdir(sub) else path
-    return z_image_params_from_state_dict(model, _read_safetensors(root))
+    return z_image_params_from_state_dict(
+        model, merge_lora_for(_read_safetensors(root), od_config))
 
 
 def read_z_image_configs(model_root: str, tf_cfg, vae_cfg, sched_cfg):
