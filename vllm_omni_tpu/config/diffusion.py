@@ -88,6 +88,14 @@ class OmniDiffusionConfig:
     lora_nickname: str = "default"
     lora_target_modules: Optional[list[str]] = None
     lora_scale: float = 1.0
+    # CPU offload (reference data.py:290-295): offloaded components keep
+    # their params host-resident (numpy); XLA streams them to HBM per
+    # call. Defaults False on TPU — HBM is usually the cheaper resource
+    # and per-call H2D transfer rides the slow host link.
+    dit_cpu_offload: bool = False
+    text_encoder_cpu_offload: bool = False
+    image_encoder_cpu_offload: bool = False
+    vae_cpu_offload: bool = False
     # Wan2.2 MoE-DiT knobs.
     boundary_ratio: Optional[float] = None
     flow_shift: Optional[float] = None

@@ -103,6 +103,9 @@ class QwenImagePipeline:
                 "transformer": self.transformer.init_params(k1),
                 "vae": self.vae.init_params(k2),
             }
+        from vllm_omni_tpu.diffusion.offload import apply_offload_policy
+
+        self.params = apply_offload_policy(self.params, od_config)
         self._denoise_step = self._build_denoise_step()
         self._decode = jax.jit(self.vae.decode)
         # cache backend hook (TeaCache-style), set by the engine

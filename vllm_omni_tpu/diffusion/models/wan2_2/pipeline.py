@@ -99,6 +99,9 @@ class WanPipeline:
                                   if self.has_transformer_2 else None),
                 "vae": self.vae.init_params(k2),
             }
+        from vllm_omni_tpu.diffusion.offload import apply_offload_policy
+
+        self.params = apply_offload_policy(self.params, od_config)
         self._denoise_step = self._build_denoise_step()
         self._decode = jax.jit(self.vae.decode)
         self.cache_backend = None
