@@ -79,7 +79,21 @@ class DiffusionEngine:
         outputs = []
         for req in requests:
             try:
-                result, metrics = self.pipeline.forward(req)
+                if req.profile:
+                    # per-request JAX profiler capture around the whole
+                    # forward (reference request.py profile fields)
+                    from vllm_omni_tpu.utils.profiling import (
+                        start_profile,
+                        stop_profile,
+                    )
+
+                    start_profile()
+                    try:
+                        result, metrics = self.pipeline.forward(req)
+                    finally:
+                        stop_profile()
+                else:
+                    result, metrics = self.pipeline.forward(req)
                 if req.output_type == "latent":
                     out = OmniRequestOutput.from_diffusion(
                         request_id=req.request_id, images=None,

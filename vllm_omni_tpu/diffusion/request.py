@@ -44,6 +44,8 @@ class OmniDiffusionRequest:
     return_trajectory: bool = False
     trajectory_latents: list = field(default_factory=list)
     trajectory_timesteps: list = field(default_factory=list)
-    # profiling
+    # profiling: capture a JAX profiler trace around the denoise loop
+    # (reference request.py:153-154 profile/num_profiled_timesteps)
     profile: bool = False
+    num_profiled_timesteps: Optional[int] = None
     error: Optional[str] = None

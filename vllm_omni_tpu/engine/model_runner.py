@@ -248,10 +248,15 @@ class ModelRunner:
             step_fwd_kwargs = dict(fwd_kwargs)
             if d.get("deepstack_embeds") is not None:
                 step_fwd_kwargs["deepstack_embeds"] = d["deepstack_embeds"]
-            fwd_out = model.forward(
-                params, embeds, kv_cache, meta,
-                attention_backend=backend, tp_axis=tp_axis, **step_fwd_kwargs,
-            )
+            # profiler section markers (parity: record_function sections,
+            # reference gpu_ar_model_runner.py:85-301) — visible in
+            # jax.profiler/XProf traces
+            with jax.named_scope("omni_forward"):
+                fwd_out = model.forward(
+                    params, embeds, kv_cache, meta,
+                    attention_backend=backend, tp_axis=tp_axis,
+                    **step_fwd_kwargs,
+                )
             captured = None
             if getattr(model, "capture_layer", None) is not None:
                 hidden, kv_cache, captured = fwd_out
@@ -291,14 +296,15 @@ class ModelRunner:
                 words = d["grammar_bits"][:, ids >> 5]  # [S, V] int32
                 bit = (words >> (ids & 31)) & 1
                 logits = jnp.where(bit == 1, logits, -1e30)
-            if all_greedy:
-                sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            else:
-                sampled = sample(
-                    logits,
-                    d["temperature"], d["top_p"], d["top_k"], d["min_p"],
-                    d["seeds"], d["step_counters"] + k,
-                )
+            with jax.named_scope("omni_sample"):
+                if all_greedy:
+                    sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                else:
+                    sampled = sample(
+                        logits,
+                        d["temperature"], d["top_p"], d["top_k"], d["min_p"],
+                        d["seeds"], d["step_counters"] + k,
+                    )
             sampled = jnp.where(d["do_sample"], sampled, 0)
             if need_penalties:
                 state = state.observe_sampled(sampled, d["do_sample"])

@@ -136,7 +136,21 @@ class AsyncOmni(Omni):
         self._paused.clear()
 
     def is_tracing_enabled(self) -> bool:
-        return False
+        from vllm_omni_tpu.utils.profiling import is_profiling
+
+        return is_profiling()
+
+    async def start_profile(self) -> None:
+        """Begin a JAX profiler trace (parity: EngineClient.start_profile,
+        reference async_omni.py:1189-1193)."""
+        from vllm_omni_tpu.utils.profiling import start_profile
+
+        start_profile()
+
+    async def stop_profile(self) -> None:
+        from vllm_omni_tpu.utils.profiling import stop_profile
+
+        stop_profile()
 
     async def reset_prefix_cache(self) -> None:
         """Drop all content-addressed (evictable) prefix blocks in every
