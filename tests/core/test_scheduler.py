@@ -25,10 +25,11 @@ def make_scheduler(
 
 
 def make_req(rid, prompt_len=10, max_tokens=5, **sp):
+    sp.setdefault("temperature", 0.0)
     return Request(
         request_id=rid,
         prompt_token_ids=list(range(1, prompt_len + 1)),
-        sampling_params=SamplingParams(max_tokens=max_tokens, temperature=0.0, **sp),
+        sampling_params=SamplingParams(max_tokens=max_tokens, **sp),
     )
 
 
@@ -164,23 +165,162 @@ def test_eos_and_stop_token():
 def test_preemption_on_block_exhaustion():
     # tiny pool: 7 usable blocks of 8 tokens
     s = make_scheduler(num_blocks=8, block_size=8, max_tokens_per_step=64)
-    a = make_req("a", prompt_len=24, max_tokens=50)  # 3 blocks
-    b = make_req("b", prompt_len=24, max_tokens=50)  # 3 blocks
+    a = make_req("a", prompt_len=24, max_tokens=8)  # 3 blocks + 1 growing
+    b = make_req("b", prompt_len=24, max_tokens=8)  # 3 blocks + 1 growing
     s.add_request(a)
     s.add_request(b)
     o = s.schedule()
     assert set(o.scheduled_req_ids) == {"a", "b"}
     sampled = np.zeros(4, np.int32)
     # decode until one of them needs a 4th block and pool is empty;
-    # the loser is preempted (recompute-style) and restarted from scratch
+    # the loser is preempted (recompute-style), KEEPING its outputs
+    preempted = None
     for _ in range(5):
         s.update_from_output(o, sampled)
         o = s.schedule()
         if s.num_preemptions:
+            preempted = a if a.status == RequestStatus.PREEMPTED else b
             break
     assert s.num_preemptions > 0
-    # the preempted request lost its progress and was re-admitted
-    assert set(o.scheduled_req_ids) == {"a", "b"}
+    # vLLM recompute semantics: already-emitted tokens are preserved (they
+    # were streamed downstream; re-emitting would duplicate text)
+    assert preempted.num_output_tokens > 0
+    kept = list(preempted.output_token_ids)
+    assert preempted.replay_until == (
+        preempted.num_prompt_tokens + len(kept))
+    # winner runs to completion, freeing blocks; loser then recomputes
+    # prompt+outputs and continues to exactly max_tokens total
+    winner = b if preempted is a else a
+    for _ in range(200):
+        if not s.has_unfinished():
+            break
+        s.update_from_output(o, sampled)
+        o = s.schedule()
+    assert winner.finished and preempted.finished
+    # no duplicated output and no restarted budget
+    assert preempted.output_token_ids[: len(kept)] == kept
+    assert preempted.num_output_tokens == 8
+    assert winner.num_output_tokens == 8
+
+
+def test_recompute_chunks_do_not_reemit():
+    """Mid-recompute chunks (emits=False) must not produce tokens."""
+    s = make_scheduler(num_blocks=8, block_size=8, max_tokens_per_step=8)
+    a = make_req("a", prompt_len=24, max_tokens=6)
+    s.add_request(a)
+    sampled = np.arange(100, 104, dtype=np.int32)
+    o = s.schedule()
+    while a.num_computed_tokens < 24:
+        s.update_from_output(o, sampled)
+        o = s.schedule()
+    s.update_from_output(o, sampled)
+    # simulate a preemption mid-decode
+    o = s.schedule()
+    s.update_from_output(o, sampled)
+    n_out = a.num_output_tokens
+    assert n_out >= 1
+    s._preempt(a)
+    assert a.output_token_ids  # preserved
+    # recompute: chunked prefill over prompt+outputs, budget 8/step
+    outs = []
+    for _ in range(50):
+        o = s.schedule()
+        if not o.scheduled_req_ids and not s.has_unfinished():
+            break
+        produced = s.update_from_output(o, sampled)
+        outs.extend(
+            tok for r in produced for tok in (r.last_new_tokens or []))
+    assert a.finished
+    assert a.num_output_tokens == 6
+    # tokens emitted after preemption = only the NEW ones
+    assert len(outs) == 6 - n_out
+
+
+def test_token_rows_non_decreasing_after_row_churn():
+    """Rows are reused LIFO; the pallas ragged kernel requires the token
+    layout to be non-decreasing in row order (ADVICE r1 #1)."""
+    s = make_scheduler(max_num_seqs=4, max_tokens_per_step=64)
+    reqs = [make_req(f"r{i}", prompt_len=4, max_tokens=20) for i in range(4)]
+    for r in reqs:
+        s.add_request(r)
+    o = s.schedule()
+    sampled = np.zeros(4, np.int32)
+    s.update_from_output(o, sampled)
+    # finish r1 (row 1) early, admit a new request -> takes row 1 while
+    # r2/r3 still hold rows 2/3; running order becomes [r0, r2, r3, new]
+    s.abort_request("r1")
+    s.add_request(make_req("new", prompt_len=4, max_tokens=20))
+    o = s.schedule()
+    d = o.descriptor
+    rows = d.token_rows[: d.num_tokens]
+    assert (np.diff(rows) >= 0).all(), rows
+
+
+def test_ngram_spec_skips_suppress_token_ids():
+    s = make_scheduler()
+    s.config.num_speculative_tokens = 4
+    s.config.ngram_prompt_lookup_max = 3
+    s.config.ngram_prompt_lookup_min = 1
+    req = Request(
+        request_id="a",
+        prompt_token_ids=[1, 2, 3, 1, 2, 3, 1, 2],
+        sampling_params=SamplingParams(
+            max_tokens=8, temperature=0.0, suppress_token_ids=[3]),
+    )
+    s.add_request(req)
+    o = s.schedule()
+    s.update_from_output(o, np.zeros(4, np.int32))
+    # decode steps: proposal must be suppressed-aware -> no spec chunks
+    for _ in range(3):
+        o = s.schedule()
+        assert not o.spec_proposals
+        s.update_from_output(o, np.zeros(4, np.int32))
+
+
+def test_unseeded_requests_get_distinct_seeds():
+    s = make_scheduler()
+    a = make_req("a", prompt_len=4, max_tokens=2, temperature=1.0)
+    b = make_req("b", prompt_len=4, max_tokens=2, temperature=1.0)
+    c = make_req("c", prompt_len=4, max_tokens=2, temperature=1.0, seed=7)
+    for r in (a, b, c):
+        s.add_request(r)
+    assert a.rng_seed != b.rng_seed  # fresh entropy per request
+    assert c.rng_seed == 7  # explicit seed stays deterministic
+    o = s.schedule()
+    d = o.descriptor
+    assert d.seeds[o.rows["a"]] != d.seeds[o.rows["b"]]
+    assert d.seeds[o.rows["c"]] == 7
+
+
+def test_abort_waiting_request_releases_prefix_blocks():
+    """A waiting request can hold refcounted prefix-cache blocks after a
+    failed admission attempt; aborting it must release them."""
+    sc = SchedulerConfig(
+        max_num_seqs=2, max_num_batched_tokens=64, max_model_len=256,
+        token_buckets=[16, 32, 64],
+    )
+    cc = CacheConfig(block_size=8, enable_prefix_caching=True)
+    s = Scheduler(sc, cc, num_kv_blocks=8)  # 7 usable blocks
+    a = make_req("a", prompt_len=24, max_tokens=40)
+    s.add_request(a)
+    o = s.schedule()
+    s.update_from_output(o, np.zeros(2, np.int32))
+    # same prompt -> matches a's cached prefix blocks, but allocation of
+    # the full prompt fails (pool nearly exhausted by a's decode growth)
+    b = make_req("b", prompt_len=24, max_tokens=40)
+    free_before = s.kv.num_free_blocks
+    s.add_request(b)
+    for _ in range(10):
+        o = s.schedule()
+        s.update_from_output(o, np.zeros(2, np.int32))
+        if b.request_id not in o.rows:
+            break
+    s.abort_request("b")
+    s.abort_request("a")
+    # every block is reusable again — raw free list + evictable cached
+    # blocks (none leaked to b's prefix match refcounts)
+    assert "b" not in s.kv.req_blocks
+    assert s.kv.num_free_blocks + len(s.kv._evictable) == 7
 
 
 def test_one_shot_scheduler():

@@ -243,3 +243,29 @@ def test_logprobs():
     probs = np.exp(np.asarray(
         [sorted(e.values(), reverse=True) for e in out.logprobs]))
     assert (probs <= 1.0 + 1e-6).all()
+
+
+def test_preemption_preserves_output_and_penalty_state():
+    """Recompute-preemption must neither re-emit tokens nor reset the
+    max_tokens budget, and the device penalty state must be rebuilt from
+    the replayed outputs: a run forced through preemption matches a run
+    with ample KV blocks exactly (ADVICE r1 #2)."""
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=20, ignore_eos=True, detokenize=False,
+        repetition_penalty=1.3, presence_penalty=0.4, frequency_penalty=0.2,
+    )
+    prompts = [
+        {"prompt_token_ids": [3, 17, 42, 9, 81, 60, 2]},
+        {"prompt_token_ids": [5, 9, 23, 77, 3]},
+    ]
+    big = make_llm(num_kv_cache_blocks=64)
+    ref = [o.outputs[0].token_ids for o in big.generate(prompts, sp)]
+    # 5 usable blocks of 8 tokens: both requests fit at prefill, but
+    # decode growth needs 6 -> one gets preempted and must recompute
+    small = make_llm(num_kv_cache_blocks=6)
+    # share weights so outputs are comparable
+    small.core.runner.params = jax.tree.map(
+        lambda x: x, big.core.runner.params)
+    got = [o.outputs[0].token_ids for o in small.generate(prompts, sp)]
+    assert small.core.scheduler.num_preemptions > 0
+    assert got == ref

@@ -47,3 +47,24 @@ def test_pallas_sliding_window_matches():
     np.testing.assert_allclose(
         np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-3, atol=2e-3
     )
+
+
+def test_pallas_idle_row_gap():
+    """Rows freed mid-batch leave idle gaps: the scheduler lays tokens out
+    sorted by row (ADVICE r1 #1), so the kernel sees non-decreasing
+    token_rows with q_len==0 holes it must skip without corrupting
+    neighbours."""
+    rng = np.random.default_rng(3)
+    inputs, _, T = build_case(
+        rng, [(0, 6), (10, 0), (14, 1), (3, 0), (5, 9)],
+        Hq=4, Hkv=2, D=128, block_size=8, max_blocks=8, T_pad=16,
+    )
+    args = {k: jnp.asarray(v) for k, v in inputs.items()}
+    scale = 1.0 / np.sqrt(128)
+    ref = ragged_paged_attention_ref(**args, scale=scale)
+    out = ragged_paged_attention_pallas(
+        **args, scale=scale, q_tile=16, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-3, atol=2e-3
+    )

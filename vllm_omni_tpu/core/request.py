@@ -81,6 +81,12 @@ class Request:
     # epoch guards stale in-flight step results after recompute-preemption
     # (async pipelined scheduling)
     sched_epoch: int = 0
+    # positions < replay_until are preserved outputs re-prefilled after a
+    # recompute-preemption (device penalty state re-observes them)
+    replay_until: int = 0
+    # resolved per-request RNG seed: sampling_params.seed when given,
+    # fresh host entropy otherwise (set at add_request)
+    rng_seed: Optional[int] = None
     batch_row: int = -1  # persistent row in the device batch, -1 = none
     stop_reason: Optional[Any] = None
     # Accumulated non-text outputs keyed by name (hidden states, codes,

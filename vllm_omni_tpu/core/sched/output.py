@@ -88,6 +88,11 @@ class BatchDescriptor:
     # [S, ceil(V/32)] (all-ones on unconstrained rows); None = no grammar
     grammar_bits: Optional[np.ndarray] = None
     has_grammar: bool = False
+    # bool [T] (optional): known output token re-prefilled after a
+    # recompute-preemption; the device re-counts it into the (reset)
+    # penalty state. None when no request is recomputing.
+    is_output_replay: Optional[np.ndarray] = None
+    has_replay: bool = False
 
     @property
     def padded_num_tokens(self) -> int:
@@ -112,6 +117,9 @@ class SchedulerOutput:
     # (async pipelining bookkeeping)
     chunk_ends: dict[str, int] = field(default_factory=dict)
     epochs: dict[str, int] = field(default_factory=dict)
+    # per request: does this chunk produce a NEW token? (decided at
+    # schedule time; False for mid-prefill and mid-recompute chunks)
+    emits: dict[str, bool] = field(default_factory=dict)
     # host-side extra per-request info for model hooks
     runtime_info: dict[str, Any] = field(default_factory=dict)
     # fused decode sub-steps in this dispatch (sampled arrives [K, S])

@@ -69,6 +69,14 @@ class Scheduler:
     def add_request(self, request: Request) -> None:
         if request.request_id in self.requests:
             raise ValueError(f"duplicate request id {request.request_id}")
+        if request.rng_seed is None:
+            sp = request.sampling_params
+            # unseeded requests draw fresh host entropy per request (vLLM
+            # seed=None semantics); explicit seeds stay deterministic
+            request.rng_seed = (
+                int(sp.seed) if sp.seed is not None
+                else int(np.random.randint(0, 2**31 - 1))
+            )
         self.requests[request.request_id] = request
         self.waiting.append(request)
 
@@ -79,12 +87,15 @@ class Scheduler:
         req.status = RequestStatus.FINISHED_ABORTED
         if req in self.running:
             self.running.remove(req)
-            self._release(req)
         else:
             try:
                 self.waiting.remove(req)
             except ValueError:
                 pass
+        # always release: a waiting request can hold refcounted prefix-cache
+        # blocks from a failed admission attempt (match_prefix then
+        # allocate() -> None)
+        self._release(req)
         self._finished_this_step.append(request_id)
 
     def has_unfinished(self) -> bool:
@@ -105,11 +116,18 @@ class Scheduler:
         # scheduled ahead of their results (async pipelining): decode
         # inputs the host hasn't observed yet are gathered on device from
         # prev_sampled.
-        preempted: list[Request] = []
         for req in list(self.running):
+            if req.status is not RequestStatus.RUNNING:
+                continue  # preempted as a victim earlier in this pass
             if budget <= 0:
                 break
-            remaining_prompt = req.num_prompt_tokens - req.num_computed_tokens
+            # prefill target includes preserved outputs after a
+            # recompute-preemption (replay_until): prompt + already-
+            # generated tokens are re-prefilled, then generation continues
+            # (vLLM recompute). NOT `prompt+num_output` — in synced decode
+            # the last sampled token always sits one past num_computed.
+            target = max(req.num_prompt_tokens, req.replay_until)
+            remaining_prompt = target - req.num_computed_tokens
             if remaining_prompt > 0:
                 n = min(remaining_prompt, budget)
                 if not self.config.enable_chunked_prefill:
@@ -133,16 +151,24 @@ class Scheduler:
                     req.spec_inflight = True
                     n = 1 + len(props)
             total = req.num_computed_tokens + n
-            blocks = self.kv.allocate(req.request_id, total)
+            while True:
+                blocks = self.kv.allocate(req.request_id, total)
+                if blocks is not None:
+                    break
+                # Out of KV blocks: preempt the LOWEST-priority (last)
+                # running request and retry — vLLM recompute-preemption.
+                # Stable victim selection is what guarantees progress: if
+                # the failing request preempted itself, two requests could
+                # ping-pong forever, each losing its in-flight work.
+                if self.running and self.running[-1] is not req:
+                    self._preempt(self.running[-1])
+                else:
+                    self._preempt(req)  # req IS the lowest priority
+                    break
             if blocks is None:
-                # Out of KV blocks: preempt this request (free its blocks,
-                # back to the waiting queue) — vLLM recompute-preemption.
-                preempted.append(req)
                 continue
             budget -= n
             scheduled.append((req, n))
-        for req in preempted:
-            self._preempt(req)
 
         # 2) admit waiting requests.
         while (
@@ -162,7 +188,8 @@ class Scheduler:
                     req.request_id, req.prompt_token_ids)
                 req.num_computed_tokens = min(
                     cached, max(req.num_prompt_tokens - 1, 0))
-            remaining = req.num_prompt_tokens - req.num_computed_tokens
+            known = req.num_prompt_tokens + req.num_output_tokens
+            remaining = known - req.num_computed_tokens
             if remaining <= 0:
                 remaining = 1  # empty prompt → single placeholder token
             if self.config.one_shot:
@@ -203,7 +230,10 @@ class Scheduler:
                 and not self.config.one_shot and not self.use_mrope):
             eligible = all(
                 n == 1
+                # steady decode only: past the prompt AND past any
+                # preserved-output recompute (post-preemption)
                 and req.num_computed_tokens >= req.num_prompt_tokens
+                and req.num_computed_tokens >= req.replay_until
                 and getattr(req, "decode_embeds", None) is None
                 and not req.sampling_params.logprobs
                 and getattr(req, "grammar_fsm", None) is None
@@ -242,10 +272,13 @@ class Scheduler:
         if k <= 0:
             return []
         sp = req.sampling_params
-        # greedy-only, penalty-free for exact acceptance semantics
+        # greedy-only, penalty-free for exact acceptance semantics;
+        # suppress_token_ids excluded too: verification argmaxes RAW
+        # full_logits, so a suppressed token could leak via the bonus token
         if (sp.temperature != 0.0 or sp.repetition_penalty != 1.0
                 or sp.presence_penalty != 0.0
                 or sp.frequency_penalty != 0.0 or sp.logprobs
+                or sp.suppress_token_ids
                 or getattr(req, "grammar_fsm", None) is not None):
             return []
         ids = req.all_token_ids
@@ -293,8 +326,12 @@ class Scheduler:
             if scheduler_output.epochs.get(rid) != req.sched_epoch:
                 continue  # stale pre-preemption result
             chunk_end = scheduler_output.chunk_ends[rid]
-            if chunk_end < req.num_prompt_tokens:
-                continue  # mid-prefill chunk: no token produced
+            if not scheduler_output.emits.get(rid, True):
+                # mid-prefill (or mid-recompute-after-preemption) chunk:
+                # no NEW token produced (decided at schedule time — the
+                # recompute target moves as outputs arrive, so it cannot
+                # be re-derived here)
+                continue
             if self.config.one_shot:
                 # Non-AR stage: finished right after its single forward
                 # (reference omni_generation_scheduler.py:236-244).
@@ -394,8 +431,14 @@ class Scheduler:
         self.running.remove(req)
         self._release(req)
         req.status = RequestStatus.PREEMPTED
+        # recompute-preemption KEEPS already-delivered output tokens:
+        # re-admission prefills prompt+output, then generation resumes —
+        # re-emitting (or restarting the max_tokens budget) would duplicate
+        # text already streamed downstream
         req.num_computed_tokens = 0
-        req.output_token_ids.clear()
+        # device-side penalty counts die with the row reset: mark the
+        # preserved outputs for re-observation during the recompute prefill
+        req.replay_until = req.num_prompt_tokens + req.num_output_tokens
         req.sched_epoch += 1  # drop stale in-flight results
         self.waiting.appendleft(req)
 
@@ -418,6 +461,12 @@ class Scheduler:
         extra_steps: int = 0,
     ) -> SchedulerOutput:
         S = self.config.max_num_seqs
+        # Lay tokens out in ascending batch-row order: rows are reused LIFO
+        # after requests finish, so running-list order can carry rows out
+        # of order — and the pallas ragged kernel derives the rows a q-tile
+        # touches from its endpoint tokens, which requires token_rows to be
+        # non-decreasing (ops/attention/pallas_ragged.py).
+        scheduled = sorted(scheduled, key=lambda rn: rn[0].batch_row)
         num_tokens = sum(n for _, n in scheduled)
         T = self.config.pad_tokens(max(num_tokens, 1))
 
@@ -463,6 +512,8 @@ class Scheduler:
         rows: dict[str, int] = {}
         chunk_ends: dict[str, int] = {}
         epochs: dict[str, int] = {}
+        emits: dict[str, bool] = {}
+        replay = None  # [T] bool: known output tokens being re-prefilled
         need_penalties = False
         all_greedy = True
         for req, n in scheduled:
@@ -473,6 +524,9 @@ class Scheduler:
             chunk_ends[req.request_id] = req.num_computed_tokens + n
             epochs[req.request_id] = req.sched_epoch
             start = req.num_computed_tokens
+            # tokens known on host: prompt + already-emitted outputs (the
+            # latter only re-prefill after a recompute-preemption)
+            known = req.num_prompt_tokens + req.num_output_tokens
             all_ids = req.all_token_ids
             spec = (req.spec_tokens
                     if getattr(req, "spec_inflight", False) else None)
@@ -490,6 +544,14 @@ class Scheduler:
                 positions[t + i] = pos
                 token_rows[t + i] = row
                 is_prompt[t + i] = pos < req.num_prompt_tokens
+                if req.num_prompt_tokens <= pos < req.replay_until:
+                    # replayed output token (recompute after preemption,
+                    # row state was reset): the device re-counts it into
+                    # the penalty state. Normal decode inputs (pos >=
+                    # replay_until) were already counted at sample time.
+                    if replay is None:
+                        replay = np.zeros(T, bool)
+                    replay[t + i] = True
                 if mrope is not None:
                     if (req.mrope_positions is not None
                             and pos < req.num_prompt_tokens):
@@ -567,8 +629,10 @@ class Scheduler:
             seq_lens[row] = start + n
             block_tables[row, : len(blocks)] = blocks
             logits_indices[row] = t + n - 1
-            # row samples iff this step completes/extends past the prompt
-            do_sample[row] = (start + n) >= req.num_prompt_tokens
+            # row samples iff this step completes/extends past all KNOWN
+            # tokens (prompt + preserved outputs when recomputing)
+            do_sample[row] = (start + n) >= known
+            emits[req.request_id] = bool(do_sample[row])
             if row in self._rows_to_reset:
                 reset_rows[row] = True
                 self._rows_to_reset.discard(row)
@@ -585,7 +649,7 @@ class Scheduler:
             rep_pen[row] = sp.repetition_penalty
             pres_pen[row] = sp.presence_penalty
             freq_pen[row] = sp.frequency_penalty
-            seeds[row] = np.uint32(sp.seed if sp.seed is not None else 0)
+            seeds[row] = np.uint32(req.rng_seed or 0)
             for si, tok in enumerate((sp.suppress_token_ids or [])[:8]):
                 suppress_ids[row, si] = tok
             if sp.logprobs:
@@ -651,6 +715,8 @@ class Scheduler:
             slot_mapping=slot_mapping,
             is_prompt_token=is_prompt,
             use_prev_sampled=use_prev,
+            is_output_replay=replay,
+            has_replay=replay is not None,
             q_lens=q_lens,
             cu_q_lens=cu_q,
             seq_lens=seq_lens,
@@ -695,6 +761,7 @@ class Scheduler:
         )
         out.chunk_ends = chunk_ends
         out.epochs = epochs
+        out.emits = emits
         out.num_steps = 1 + extra_steps
         out.spec_proposals = spec_proposals
         return out

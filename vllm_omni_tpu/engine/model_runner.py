@@ -140,7 +140,7 @@ class ModelRunner:
         need_penalties: bool = True, all_greedy: bool = False,
         maxb: int = 0, num_steps: int = 1, has_spec: bool = False,
         num_logprobs: int = 0, has_suppress: bool = True,
-        grammar_words: int = 0,
+        grammar_words: int = 0, has_replay: bool = False,
     ) -> Callable:
         import inspect
 
@@ -171,8 +171,9 @@ class ModelRunner:
             dominates decode otherwise)."""
             ints = d["ints"]
             floats = d["floats"]
+            per_tok = 5 + num_steps + (1 if has_replay else 0)
             T = (ints.shape[0] - (17 * S + 1) - S * MAXB
-                 - S * grammar_words) // (5 + num_steps)
+                 - S * grammar_words) // per_tok
             o = 0
 
             def take(n):
@@ -188,6 +189,8 @@ class ModelRunner:
                 "slot_mapping": take(T),
                 "is_prompt_token": take(T).astype(bool),
                 "use_prev_sampled": take(T).astype(bool),
+                **({"is_output_replay": take(T).astype(bool)}
+                   if has_replay else {}),
                 "q_lens": take(S),
                 "cu_q_lens": take(S + 1),
                 "seq_lens": take(S),
@@ -273,7 +276,8 @@ class ModelRunner:
             if need_penalties:
                 state = state.reset_rows(d["reset_rows"])
                 state = state.observe_input_tokens(
-                    token_ids, d["token_rows"], d["is_prompt_token"]
+                    token_ids, d["token_rows"], d["is_prompt_token"],
+                    d.get("is_output_replay"),
                 )
                 logits = apply_penalties(
                     logits, state,
@@ -416,6 +420,9 @@ class ModelRunner:
             desc.token_ids, desc.positions, desc.token_rows,
             desc.slot_mapping, desc.is_prompt_token.astype(np.int32),
             desc.use_prev_sampled.astype(np.int32),
+        ] + ([desc.is_output_replay.astype(np.int32)]
+             if getattr(desc, "is_output_replay", None) is not None else []
+        ) + [
             desc.q_lens, desc.cu_q_lens, desc.seq_lens,
             desc.logits_indices, desc.do_sample.astype(np.int32),
             desc.reset_rows.astype(np.int32), desc.top_k,
@@ -463,9 +470,11 @@ class ModelRunner:
         has_suppress = bool(getattr(desc, "has_suppress", True))
         gb = getattr(desc, "grammar_bits", None)
         grammar_words = int(gb.shape[1]) if gb is not None else 0
+        has_replay = getattr(desc, "is_output_replay", None) is not None
         key = (has_embeds, has_mrope, has_add, has_deepstack,
                desc.need_penalties, desc.all_greedy, maxb, num_steps,
-               has_spec, num_logprobs, has_suppress, grammar_words)
+               has_spec, num_logprobs, has_suppress, grammar_words,
+               has_replay)
         step_fn = self._step_fns.get(key)
         if step_fn is None:
             step_fn = self._step_fns[key] = self._build_step_fn(
@@ -475,7 +484,7 @@ class ModelRunner:
                 all_greedy=desc.all_greedy, maxb=maxb,
                 num_steps=num_steps, has_spec=has_spec,
                 num_logprobs=num_logprobs, has_suppress=has_suppress,
-                grammar_words=grammar_words)
+                grammar_words=grammar_words, has_replay=has_replay)
         (sampled, self.kv_cache, self.sampling_state,
          self.prev_sampled, aux) = step_fn(
             self.params, self.kv_cache, self.sampling_state,

@@ -40,15 +40,28 @@ class SamplingState(NamedTuple):
         return SamplingState(self.all_counts * keep, self.out_counts * keep)
 
     def observe_input_tokens(
-        self, token_ids: jax.Array, token_rows: jax.Array, is_prompt: jax.Array
+        self,
+        token_ids: jax.Array,
+        token_rows: jax.Array,
+        is_prompt: jax.Array,
+        is_replay: jax.Array | None = None,
     ) -> "SamplingState":
-        """Scatter this step's prompt tokens into all_counts."""
+        """Scatter this step's prompt tokens into all_counts; replayed
+        output tokens (recompute after preemption, row state was reset)
+        re-count into BOTH all_counts and out_counts."""
         S, V = self.all_counts.shape
-        rows = jnp.where(is_prompt, token_rows, S)  # out-of-range rows drop
+        obs = is_prompt if is_replay is None else (is_prompt | is_replay)
+        rows = jnp.where(obs, token_rows, S)  # out-of-range rows drop
         all_counts = self.all_counts.at[rows, token_ids].add(
             1, mode="drop", unique_indices=False
         )
-        return SamplingState(all_counts, self.out_counts)
+        out_counts = self.out_counts
+        if is_replay is not None:
+            orows = jnp.where(is_replay, token_rows, S)
+            out_counts = out_counts.at[orows, token_ids].add(
+                1, mode="drop", unique_indices=False
+            )
+        return SamplingState(all_counts, out_counts)
 
     def observe_sampled(
         self, sampled: jax.Array, do_sample: jax.Array
