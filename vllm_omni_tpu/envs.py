@@ -23,6 +23,13 @@ def attention_backend() -> str:
 
 
 @lru_cache(maxsize=None)
+def kv_write_backend() -> str:
+    """KV-cache write backend for decode steps: "pallas" (in-place page
+    RMW kernel) or "xla" (scatter; copies the cache — debug only)."""
+    return _get("OMNI_TPU_KV_WRITE_BACKEND", "pallas").lower()
+
+
+@lru_cache(maxsize=None)
 def diffusion_cache_backend() -> str:
     """Default diffusion cache backend name ('' = disabled)."""
     return _get("OMNI_TPU_DIFFUSION_CACHE_BACKEND", "")

@@ -18,7 +18,11 @@ import jax.numpy as jnp
 
 from vllm_omni_tpu.config.model import ModelConfig
 from vllm_omni_tpu.models.layers import embed, linear, rms_norm, swiglu_mlp, unembed
-from vllm_omni_tpu.ops.attention import AttentionMetadata, ragged_paged_attention, write_kv
+from vllm_omni_tpu.ops.attention import (
+    AttentionMetadata,
+    ragged_paged_attention,
+    write_kv_auto,
+)
 from vllm_omni_tpu.ops.rope import apply_rope, rope_table
 
 
@@ -127,19 +131,33 @@ class Qwen2ForCausalLM:
         meta: AttentionMetadata,
         attention_backend: Optional[str] = None,
         tp_axis: Optional[str] = None,
+        defer_kv_write: bool = False,
     ) -> tuple[jax.Array, dict[str, jax.Array]]:
         """Decoder forward. When running inside shard_map with column/row-
         sharded params (parallel/sharding.py), `tp_axis` names the mesh axis
-        to psum partial o_proj/down_proj results over (Megatron TP)."""
+        to psum partial o_proj/down_proj results over (Megatron TP).
+
+        defer_kv_write (decode-shaped steps only, one token per row):
+        the layer scan never touches the cache — each token's in-flight
+        K/V joins attention as an explicit self column, the per-layer
+        K/V stack out as small scan ys, and the caller commits them with
+        ONE in-place pallas write per step. Threading the cache through
+        any loop carry makes XLA round-trip the full cache per iteration
+        (measured 1.5-2.9x decode slowdown, see write_kv_auto)."""
         from vllm_omni_tpu.parallel.sharding import psum_if
 
         T = hidden.shape[0]
         lp = params["layers"]
         cos, sin = self._cos, self._sin
+        k_cache_in, v_cache_in = kv_cache["k"], kv_cache["v"]
 
         def layer(carry, xs):
-            h = carry
-            p, k_c, v_c = xs
+            if defer_kv_write:
+                h = carry
+                k_cache, v_cache = k_cache_in, v_cache_in  # read-only
+            else:
+                h, k_cache, v_cache = carry
+            p, li = xs
             res = h
             h_n = rms_norm(h, p["input_layernorm"], self.eps)
             q = linear(h_n, p["q_proj"], p.get("q_bias"))
@@ -159,14 +177,18 @@ class Qwen2ForCausalLM:
                 interleaved=self.mrope_interleaved,
                 theta=self.theta,
             )
-            k_c, v_c = write_kv(k_c, v_c, k, v, meta.slot_mapping)
+            if not defer_kv_write:
+                k_cache, v_cache = write_kv_auto(
+                    k_cache, v_cache, li, k, v, meta.slot_mapping)
             attn = ragged_paged_attention(
-                q, k_c, v_c,
+                q, k_cache[li], v_cache[li],
                 meta.q_starts, meta.q_lens, meta.seq_lens, meta.block_tables,
                 meta.positions, meta.token_rows,
                 scale=self.scale,
                 sliding_window=self.sliding_window,
                 backend=attention_backend,
+                k_self=k if defer_kv_write else None,
+                v_self=v if defer_kv_write else None,
             )
             attn_out = linear(attn.reshape(T, -1), p["o_proj"])
             h = res + psum_if(attn_out, tp_axis)
@@ -179,11 +201,17 @@ class Qwen2ForCausalLM:
                 p["down_proj"],
             )
             h = res + psum_if(mlp_out, tp_axis)
-            return h, (k_c, v_c)
+            if defer_kv_write:
+                return h, (k, v)
+            return (h, k_cache, v_cache), None
 
-        hidden, (new_k, new_v) = jax.lax.scan(
-            layer, hidden, (lp, kv_cache["k"], kv_cache["v"])
-        )
+        xs = (lp, jnp.arange(self.L, dtype=jnp.int32))
+        if defer_kv_write:
+            hidden, (k_all, v_all) = jax.lax.scan(layer, hidden, xs)
+            hidden = rms_norm(hidden, params["norm"], self.eps)
+            return hidden, {"k_new": k_all, "v_new": v_all}
+        (hidden, new_k, new_v), _ = jax.lax.scan(
+            layer, (hidden, k_cache_in, v_cache_in), xs)
         hidden = rms_norm(hidden, params["norm"], self.eps)
         return hidden, {"k": new_k, "v": new_v}
 

@@ -29,6 +29,8 @@ from vllm_omni_tpu.ops.attention.ragged_paged import (  # noqa: E402
     ragged_paged_attention,
     ragged_paged_attention_ref,
     write_kv,
+    write_kv_auto,
+    write_kv_layer,
 )
 
 __all__ = [
@@ -36,4 +38,6 @@ __all__ = [
     "ragged_paged_attention",
     "ragged_paged_attention_ref",
     "write_kv",
+    "write_kv_auto",
+    "write_kv_layer",
 ]

@@ -1,0 +1,233 @@
+"""In-place paged KV-cache write kernel (decode path).
+
+XLA lowers scatter into a paged cache as copy-the-whole-operand (measured
+~8 ms per scatter on a 2 GB cache on v5e — the round-1 decode-throughput
+ceiling). This Pallas kernel updates the cache truly in place via
+`input_output_aliases`: for each new token it DMAs the target [B, D]
+page per KV head into VMEM, overwrites one row, and DMAs it back.
+Traffic per token: 2 * Hkv * B * D bytes (~64 KB) instead of the whole
+cache.
+
+Layout (head-major pages, matching ops/attention/ragged_paged.py):
+  k_cache, v_cache: [L, Hkv, N_blk, B, D]
+  k_new, v_new:     [T, Hkv, D]
+  slot_mapping:     [T] int32 flat slot = blk * B + off (pad tokens -> 0)
+  layer:            [1] int32
+
+Correctness domain: one token per (page, offset) pair per call — the
+decode scheduler guarantees one token per row and rows own disjoint
+blocks. Tokens sharing a PAGE are fine (grid steps run sequentially and
+each step re-reads the page), except the reserved pad block 0, which
+many pad tokens may hit harmlessly (they overwrite pad rows).
+
+Reference role: the vLLM reshape_and_cache CUDA kernel this replaces
+(SURVEY.md §2.10 row 1, PagedAttention kernel family).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kv_write_kernel(
+    # scalar prefetch
+    blk_ref,  # [T] int32
+    off_ref,  # [T] int32
+    layer_ref,  # [1] int32
+    # inputs
+    k_new_ref,  # [T, Hkv, D] VMEM
+    v_new_ref,
+    k_in_ref,  # ANY (aliased to k_out)
+    v_in_ref,
+    # outputs (aliased)
+    k_out_ref,  # [L, Hkv, N, B, D] ANY
+    v_out_ref,
+    # scratch
+    k_page,  # [Hkv, B, D] VMEM
+    v_page,
+    sem,  # DMA semaphores [2]
+):
+    t = pl.program_id(0)
+    li = layer_ref[0]
+    blk = blk_ref[t]
+    off = off_ref[t]
+
+    # page in
+    k_cp = pltpu.make_async_copy(
+        k_out_ref.at[li, :, blk], k_page, sem.at[0])
+    v_cp = pltpu.make_async_copy(
+        v_out_ref.at[li, :, blk], v_page, sem.at[1])
+    k_cp.start()
+    v_cp.start()
+    k_cp.wait()
+    v_cp.wait()
+
+    # overwrite row `off` (vectorized select: dynamic sublane stores are
+    # not universally supported by Mosaic)
+    B = k_page.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1)
+    hit = row == off
+    k_page[...] = jnp.where(hit, k_new_ref[t][:, None, :], k_page[...])
+    v_page[...] = jnp.where(hit, v_new_ref[t][:, None, :], v_page[...])
+
+    # page out
+    k_cp = pltpu.make_async_copy(
+        k_page, k_out_ref.at[li, :, blk], sem.at[0])
+    v_cp = pltpu.make_async_copy(
+        v_page, v_out_ref.at[li, :, blk], sem.at[1])
+    k_cp.start()
+    v_cp.start()
+    k_cp.wait()
+    v_cp.wait()
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("interpret",))
+def _kv_write_call(k_cache, v_cache, k_new, v_new, blk, off, layer,
+                   interpret=False):
+    T = k_new.shape[0]
+    _, Hkv, _, B, D = k_cache.shape
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kv_write_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(T,),
+            in_specs=[vmem, vmem, any_spec, any_spec],
+            out_specs=[any_spec, any_spec],
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, B, D), k_cache.dtype),
+                pltpu.VMEM((Hkv, B, D), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: same-page RMW
+        ),
+        interpret=interpret,
+    )(blk, off, layer, k_new, v_new, k_cache, v_cache)
+    return out[0], out[1]
+
+
+def write_kv_pages(
+    k_cache: jax.Array,  # [L, Hkv, N, B, D]
+    v_cache: jax.Array,
+    layer,  # int or traced scalar
+    k_new: jax.Array,  # [T, Hkv, D]
+    v_new: jax.Array,
+    slot_mapping: jax.Array,  # [T] int32
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """In-place per-page KV write for one layer. Decode-shaped T only."""
+    B = k_cache.shape[3]
+    blk = (slot_mapping // B).astype(jnp.int32)
+    off = (slot_mapping % B).astype(jnp.int32)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    return _kv_write_call(
+        k_cache, v_cache,
+        k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
+        blk, off, layer, interpret=interpret)
+
+
+# ------------------------------------------------------- all-layer write
+
+
+def _kv_write_all_kernel(
+    blk_ref, off_ref,  # [T] int32 scalar prefetch
+    k_new_ref,  # [L, T, Hkv, D] VMEM
+    v_new_ref,
+    k_in_ref, v_in_ref,  # ANY (aliased)
+    k_out_ref, v_out_ref,  # [L, Hkv, N, B, D] ANY
+    k_page, v_page, sem,
+):
+    li = pl.program_id(0)
+    t = pl.program_id(1)
+    blk = blk_ref[t]
+    off = off_ref[t]
+    k_cp = pltpu.make_async_copy(
+        k_out_ref.at[li, :, blk], k_page, sem.at[0])
+    v_cp = pltpu.make_async_copy(
+        v_out_ref.at[li, :, blk], v_page, sem.at[1])
+    k_cp.start()
+    v_cp.start()
+    k_cp.wait()
+    v_cp.wait()
+    B = k_page.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1)
+    hit = row == off
+    k_page[...] = jnp.where(hit, k_new_ref[li, t][:, None, :], k_page[...])
+    v_page[...] = jnp.where(hit, v_new_ref[li, t][:, None, :], v_page[...])
+    k_cp = pltpu.make_async_copy(
+        k_page, k_out_ref.at[li, :, blk], sem.at[0])
+    v_cp = pltpu.make_async_copy(
+        v_page, v_out_ref.at[li, :, blk], sem.at[1])
+    k_cp.start()
+    v_cp.start()
+    k_cp.wait()
+    v_cp.wait()
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("interpret",))
+def _kv_write_all_call(k_cache, v_cache, k_new, v_new, blk, off,
+                       interpret=False):
+    L, T = k_new.shape[:2]
+    _, Hkv, _, B, D = k_cache.shape
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kv_write_all_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(L, T),
+            in_specs=[vmem, vmem, any_spec, any_spec],
+            out_specs=[any_spec, any_spec],
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, B, D), k_cache.dtype),
+                pltpu.VMEM((Hkv, B, D), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(blk, off, k_new, v_new, k_cache, v_cache)
+    return out[0], out[1]
+
+
+def write_kv_pages_all_layers(
+    k_cache: jax.Array,  # [L, Hkv, N, B, D]
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [L, T, Hkv, D]
+    v_new: jax.Array,
+    slot_mapping: jax.Array,  # [T] int32
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """One in-place write covering every layer's new KV for this step
+    (the deferred-write decode path: the layer scan emits per-layer K/V
+    as small stacked outputs, the cache is touched exactly once per
+    sub-step, outside every loop)."""
+    B = k_cache.shape[3]
+    blk = (slot_mapping // B).astype(jnp.int32)
+    off = (slot_mapping % B).astype(jnp.int32)
+    return _kv_write_all_call(
+        k_cache, v_cache,
+        k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
+        blk, off, interpret=interpret)

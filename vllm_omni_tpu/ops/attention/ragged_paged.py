@@ -56,6 +56,92 @@ def write_kv(
     return k_flat.reshape(hk, nb, bs, d), v_flat.reshape(hk, nb, bs, d)
 
 
+def write_kv_layer(
+    k_cache: jax.Array,  # [L, Hkv, N_blk, B, D] (FULL stack, all layers)
+    v_cache: jax.Array,
+    layer: jax.Array,  # scalar int32 layer index
+    k_new: jax.Array,  # [T, Hkv, D]
+    v_new: jax.Array,
+    slot_mapping: jax.Array,  # [T] int32 flat slot = blk * B + off
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter this step's K/V for ONE layer into the full cache stack.
+
+    Used when the cache rides a layer-scan as CARRY: a single scatter
+    into the big donated array keeps XLA's in-place analysis happy,
+    whereas routing per-layer slices through scan ys re-materializes
+    the ENTIRE cache every step (measured 2.4x decode slowdown at 2GB
+    cache on v5e)."""
+    bs = k_cache.shape[3]
+    blk = slot_mapping // bs
+    off = slot_mapping % bs
+    # advanced indices at axes (0, 2, 3) with the Hkv slice between ->
+    # result/update shape [T, Hkv, D]
+    k_cache = k_cache.at[layer, :, blk, off].set(
+        k_new.astype(k_cache.dtype))
+    v_cache = v_cache.at[layer, :, blk, off].set(
+        v_new.astype(v_cache.dtype))
+    return k_cache, v_cache
+
+
+def write_kv_auto(
+    k_cache: jax.Array,  # [L, Hkv, N_blk, B, D]
+    v_cache: jax.Array,
+    layer,
+    k_new: jax.Array,  # [T, Hkv, D]
+    v_new: jax.Array,
+    slot_mapping: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Layer-indexed KV write, backend-dispatched.
+
+    Decode-shaped steps (small T) on TPU route to the Pallas in-place
+    page-RMW kernel (pallas_kv_write.py) — XLA lowers the equivalent
+    scatter as a full-cache copy, which caps decode throughput by cache
+    size. Larger T (prefill/mixed) keeps the XLA scatter, whose copy
+    cost amortizes over the many tokens written."""
+    from vllm_omni_tpu import envs
+
+    T = k_new.shape[0]
+    B, D = k_cache.shape[3], k_cache.shape[4]
+    if (envs.is_tpu_platform() and T <= 32 and D % 128 == 0 and B % 8 == 0
+            and envs.kv_write_backend() != "xla"):
+        from vllm_omni_tpu.ops.attention.pallas_kv_write import (
+            write_kv_pages,
+        )
+
+        return write_kv_pages(
+            k_cache, v_cache, layer, k_new, v_new, slot_mapping)
+    return write_kv_layer(
+        k_cache, v_cache, layer, k_new, v_new, slot_mapping)
+
+
+def commit_kv_all_layers(
+    k_cache: jax.Array,  # [L, Hkv, N, B, D]
+    v_cache: jax.Array,
+    k_all: jax.Array,  # [L, T, Hkv, D] from a deferred-write forward
+    v_all: jax.Array,
+    slot_mapping: jax.Array,  # [T]
+) -> tuple[jax.Array, jax.Array]:
+    """Commit a deferred-write step's per-layer K/V in one shot."""
+    from vllm_omni_tpu import envs
+
+    B, D = k_cache.shape[3], k_cache.shape[4]
+    if (envs.is_tpu_platform() and D % 128 == 0 and B % 8 == 0
+            and envs.kv_write_backend() != "xla"):
+        from vllm_omni_tpu.ops.attention.pallas_kv_write import (
+            write_kv_pages_all_layers,
+        )
+
+        return write_kv_pages_all_layers(
+            k_cache, v_cache, k_all, v_all, slot_mapping)
+    blk = slot_mapping // B
+    off = slot_mapping % B
+    k_cache = k_cache.at[:, :, blk, off].set(
+        jnp.swapaxes(k_all, 1, 2).astype(k_cache.dtype))
+    v_cache = v_cache.at[:, :, blk, off].set(
+        jnp.swapaxes(v_all, 1, 2).astype(v_cache.dtype))
+    return k_cache, v_cache
+
+
 @partial(
     jax.jit,
     static_argnames=("scale", "logit_cap", "sliding_window"),
@@ -131,6 +217,8 @@ def ragged_paged_attention_gather(
     scale: float,
     logit_cap: float = 0.0,
     sliding_window: int = 0,
+    k_self: Optional[jax.Array] = None,  # [T, Hkv, D] in-flight token KV
+    v_self: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Decode-fast path: one batched page gather + einsum per layer.
 
@@ -159,15 +247,34 @@ def ragged_paged_attention_gather(
     if logit_cap > 0.0:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
     kv_pos = jnp.arange(L, dtype=jnp.int32)
-    mask = kv_pos[None, :] <= positions[:, None]  # causal [T, L]
+    if k_self is not None:
+        # deferred write: the slot at kv_pos == position is stale (this
+        # token is not committed yet) — strict causal; the self column
+        # supplies the diagonal term
+        mask = kv_pos[None, :] < positions[:, None]  # [T, L]
+    else:
+        mask = kv_pos[None, :] <= positions[:, None]  # causal [T, L]
     mask &= kv_pos[None, :] < seq_lens[rows][:, None]
     mask &= (token_rows < S)[:, None]  # padding tokens contribute nothing
     if sliding_window > 0:
         mask &= kv_pos[None, :] > positions[:, None] - sliding_window
     scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    if k_self is not None:
+        # deferred-write decode: the current token's K/V are not in the
+        # cache yet — append an explicit self column (always valid:
+        # kv_pos == position satisfies causal + window)
+        s_self = jnp.einsum(
+            "thgd,thd->thg", qg, k_self.astype(jnp.float32))[..., None]
+        s_self = s_self * scale
+        if logit_cap > 0.0:
+            s_self = logit_cap * jnp.tanh(s_self / logit_cap)
+        scores = jnp.concatenate([scores, s_self], axis=-1)
+        v_t = jnp.concatenate(
+            [v_t, v_self[:, :, None, :].astype(v_t.dtype)], axis=2)
     probs = jax.nn.softmax(scores, axis=-1)
-    any_valid = mask.any(axis=-1)[:, None, None, None]
-    probs = jnp.where(any_valid, probs, 0.0)
+    if k_self is None:
+        any_valid = mask.any(axis=-1)[:, None, None, None]
+        probs = jnp.where(any_valid, probs, 0.0)
     out = jnp.einsum("thgl,thld->thgd", probs, v_t.astype(jnp.float32))
     return out.reshape(T, Hq, D).astype(q.dtype)
 
@@ -200,10 +307,19 @@ def ragged_paged_attention(
     logit_cap: float = 0.0,
     sliding_window: int = 0,
     backend: Optional[str] = None,
+    k_self: Optional[jax.Array] = None,
+    v_self: Optional[jax.Array] = None,
 ):
-    """Backend-dispatching entry point."""
+    """Backend-dispatching entry point. k_self/v_self (deferred-write
+    decode) force the gather path, the only one with a self column."""
     from vllm_omni_tpu import envs
 
+    if k_self is not None:
+        return ragged_paged_attention_gather(
+            q, k_cache, v_cache, q_starts, q_lens, seq_lens, block_tables,
+            positions, token_rows, scale=scale, logit_cap=logit_cap,
+            sliding_window=sliding_window, k_self=k_self, v_self=v_self,
+        )
     if backend is None:
         backend = envs.attention_backend()
     if backend == "auto":
