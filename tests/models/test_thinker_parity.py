@@ -98,7 +98,9 @@ def tiny_pair():
     return hf, llm, cfg
 
 
-def hf_greedy(hf, ids, n_new, mel=None, patches=None, grid=None):
+def hf_greedy(hf, ids, n_new, mel=None, patches=None, grid=None,
+              video_patches=None, video_grid=None, second_per_grid=None,
+              use_audio_in_video=False):
     import torch
 
     kwargs = {}
@@ -109,6 +111,14 @@ def hf_greedy(hf, ids, n_new, mel=None, patches=None, grid=None):
     if patches is not None:
         kwargs["pixel_values"] = torch.from_numpy(patches)
         kwargs["image_grid_thw"] = torch.tensor([list(grid)])
+    if video_patches is not None:
+        kwargs["pixel_values_videos"] = torch.from_numpy(video_patches)
+        kwargs["video_grid_thw"] = torch.tensor([list(video_grid)])
+        if second_per_grid is not None:
+            kwargs["video_second_per_grid"] = torch.tensor(
+                [second_per_grid])
+    if use_audio_in_video:
+        kwargs["use_audio_in_video"] = True
     with torch.no_grad():
         out = hf.generate(
             input_ids=torch.tensor([ids]),
@@ -162,6 +172,118 @@ def test_audio_image_parity(tiny_pair):
             "multi_modal_data": {
                 "audio": [wav],
                 "image": [{"patches": patches, "grid_thw": grid}],
+            },
+        },
+        SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True,
+                       detokenize=False),
+    )[0].outputs[0].token_ids
+    assert got == ref
+
+
+def test_video_parity(tiny_pair):
+    """Video input (pre-patchified) greedy parity incl. second_per_grid
+    M-RoPE time scaling (reference mrope.py:415-587 video branch)."""
+    hf, llm, cfg = tiny_pair
+    rng = np.random.default_rng(7)
+    grid = (3, 8, 8)  # 3 temporal patches
+    n_vid = grid[0] * (grid[1] // 2) * (grid[2] // 2)
+    patch_dim = 3 * 2 * 4 * 4
+    patches = rng.normal(
+        size=(grid[0] * grid[1] * grid[2], patch_dim)).astype(np.float32)
+    spg = 1.0  # temporal_patch_size / fps = 2/2
+
+    ids = [100, 7, VSTART] + [VID] * n_vid + [VEND, 8, 9]
+    ref = hf_greedy(hf, ids, 5, video_patches=patches, video_grid=grid,
+                    second_per_grid=spg)
+    got = llm.generate(
+        {
+            "prompt_token_ids": ids,
+            "multi_modal_data": {
+                "video": [{"patches": patches, "grid_thw": grid}],
+                "second_per_grids": [spg],
+            },
+        },
+        SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True,
+                       detokenize=False),
+    )[0].outputs[0].token_ids
+    assert got == ref
+
+
+def test_video_raw_frames_expansion(tiny_pair):
+    """Raw frames + a SINGLE <|VIDEO|> placeholder: the engine must
+    preprocess frames and expand the placeholder, matching the
+    pre-patchified path exactly."""
+    hf, llm, cfg = tiny_pair
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 256, (6, 16, 16, 3), dtype=np.uint8)
+
+    from vllm_omni_tpu.multimodal.processor import preprocess_video
+
+    patches, grid = preprocess_video(
+        frames, patch_size=4, merge_size=2, temporal_patch_size=2,
+        min_pixels=64, max_pixels=4096)
+    n_vid = grid[0] * (grid[1] // 2) * (grid[2] // 2)
+
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True,
+                        detokenize=False)
+    pre = llm.generate(
+        {
+            "prompt_token_ids": [100, VSTART] + [VID] * n_vid + [VEND, 9],
+            "multi_modal_data": {
+                "video": [{"patches": patches, "grid_thw": grid}]},
+        }, sp.clone())[0].outputs[0].token_ids
+    raw = llm.generate(
+        {
+            "prompt_token_ids": [100, VSTART, VID, VEND, 9],
+            "multi_modal_data": {"video": [frames]},
+            "mm_processor_kwargs": {
+                "video": {"min_pixels": 64, "max_pixels": 4096}},
+        }, sp.clone())[0].outputs[0].token_ids
+    assert raw == pre
+
+
+def test_use_audio_in_video_parity(tiny_pair):
+    """use_audio_in_video: chunk-interleaved video+audio placeholder run,
+    greedy parity vs HF generate(use_audio_in_video=True)."""
+    import torch
+
+    hf, llm, cfg = tiny_pair
+    rng = np.random.default_rng(9)
+    wav = (rng.uniform(-1, 1, 32000) * 0.3).astype(np.float32)  # 2 s
+
+    from vllm_omni_tpu.multimodal.audio import (
+        audio_output_lengths,
+        log_mel_spectrogram,
+    )
+    from vllm_omni_tpu.multimodal.processor import (
+        build_video_audio_interleave,
+    )
+
+    mel = np.asarray(log_mel_spectrogram(wav))
+    n_audio = audio_output_lengths(mel.shape[1])
+
+    grid = (4, 8, 8)
+    patch_dim = 3 * 2 * 4 * 4
+    patches = rng.normal(
+        size=(grid[0] * grid[1] * grid[2], patch_dim)).astype(np.float32)
+    spg = 1.0
+
+    inter = build_video_audio_interleave(
+        grid, n_audio, VID, AUD, second_per_grid=spg, merge_size=2,
+        position_id_per_seconds=25, seconds_per_chunk=2.0)
+    ids = [100, VSTART, ASTART] + inter + [AEND, VEND, 9]
+
+    ref = hf_greedy(hf, ids, 5, mel=mel, video_patches=patches,
+                    video_grid=grid, second_per_grid=spg,
+                    use_audio_in_video=True)
+    got = llm.generate(
+        {
+            "prompt_token_ids": ids,
+            "multi_modal_data": {
+                "video": [{"patches": patches, "grid_thw": grid}],
+                "audio": [wav],
+                "second_per_grids": [spg],
+                "use_audio_in_video": True,
             },
         },
         SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True,

@@ -142,6 +142,7 @@ class LLM:
                 self.core.runner.params, token_ids, mm_data,
                 getattr(parsed, "mm_processor_kwargs", None),
             )
+            token_ids = mm.get("token_ids", token_ids)
             prompt_embeds = mm["prompt_embeds"]
             mrope_positions = mm["mrope_positions"]
             mrope_delta = mm["mrope_delta"]

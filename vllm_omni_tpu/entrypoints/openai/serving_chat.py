@@ -33,9 +33,17 @@ logger = init_logger(__name__)
 
 def parse_chat_content(
     messages: list,
+    mm_processor_kwargs: Optional[dict[str, Any]] = None,
 ) -> tuple[list[dict[str, str]], dict[str, list]]:
-    """-> (text_messages, multi_modal_data {audio: [...], image: [...]})."""
+    """-> (text_messages, multi_modal_data {audio/image/video: [...]}).
+
+    Video parity with the reference's content parser
+    (chat_utils.py:42-127): `video_url` parts are decoded to sampled
+    frames (data:/file: URLs; no http egress here), and when
+    mm_processor_kwargs.use_audio_in_video is set the clip's audio
+    track is extracted too (librosa path, gated on availability)."""
     mm: dict[str, list] = {}
+    use_aiv = bool((mm_processor_kwargs or {}).get("use_audio_in_video"))
     out_msgs: list[dict[str, str]] = []
     for m in messages:
         content = m.content
@@ -62,11 +70,29 @@ def parse_chat_content(
                 wav = _load_audio(url)
                 mm.setdefault("audio", []).append(wav)
                 text_parts.append("<|audio_bos|><|AUDIO|><|audio_eos|>")
-            elif ptype == "video_url":
-                raise ValueError(
-                    "video_url requires download support; pass frames via "
-                    "'video' parts instead")
+            elif ptype in ("video_url", "video"):
+                if ptype == "video":
+                    # raw frames: [T, H, W, 3] nested lists / arrays
+                    frames = np.asarray(part.get("video"))
+                    spg = None
+                else:
+                    url = (part.get("video_url") or {}).get("url", "")
+                    frames, spg = _load_video(url)
+                mm.setdefault("video", []).append(frames)
+                mm.setdefault("second_per_grids", []).append(
+                    spg if spg is not None else 1.0)
+                if use_aiv:
+                    wav = _extract_video_audio(part)
+                    mm.setdefault("audio", []).append(wav)
+                    text_parts.append(
+                        "<|vision_bos|><|audio_bos|><|VIDEO|>"
+                        "<|audio_eos|><|vision_eos|>")
+                else:
+                    text_parts.append(
+                        "<|vision_bos|><|VIDEO|><|vision_eos|>")
         out_msgs.append({"role": m.role, "content": "".join(text_parts)})
+    if use_aiv and mm.get("video"):
+        mm["use_audio_in_video"] = True
     return out_msgs, mm
 
 
@@ -94,6 +120,54 @@ def _load_audio(url: str) -> np.ndarray:
     with wave.open(url) as w:
         frames = w.readframes(w.getnframes())
         return np.frombuffer(frames, "<i2").astype(np.float32) / 32767.0
+
+
+def _load_video(url: str) -> tuple[np.ndarray, float]:
+    """-> (frames [T, H, W, 3] uint8 sampled at ~2 fps, second_per_grid).
+
+    data: URLs carry the encoded container; file:// and bare paths read
+    from disk (no http egress in this environment — the reference
+    additionally downloads http URLs, chat_utils.py:42-127)."""
+    from vllm_omni_tpu.multimodal.processor import decode_video_bytes
+
+    if url.startswith("data:"):
+        raw = base64.b64decode(url.split(",", 1)[1])
+        return decode_video_bytes(raw)
+    if url.startswith("file://"):
+        url = url[len("file://"):]
+    with open(url, "rb") as f:
+        return decode_video_bytes(f.read())
+
+
+def _extract_video_audio(part: dict) -> np.ndarray:
+    """Audio track of a video part (use_audio_in_video). Requires an
+    audio-capable decoder (librosa); gated on availability — raw 'video'
+    frame parts carry no audio track at all."""
+    if part.get("type") == "video":
+        raise ValueError(
+            "use_audio_in_video requires an encoded video (video_url); "
+            "raw 'video' frame parts carry no audio track")
+    try:
+        import librosa  # noqa: F401
+    except ImportError as e:
+        raise ValueError(
+            "use_audio_in_video needs librosa to demux the audio track, "
+            "which is unavailable in this environment; pass the track "
+            "separately as an input_audio part") from e
+    import tempfile
+
+    url = (part.get("video_url") or {}).get("url", "")
+    if url.startswith("data:"):
+        raw = base64.b64decode(url.split(",", 1)[1])
+        with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+            f.write(raw)
+            f.flush()
+            wav, _sr = librosa.load(f.name, sr=16000)
+            return wav
+    if url.startswith("file://"):
+        url = url[len("file://"):]
+    wav, _sr = librosa.load(url, sr=16000)
+    return wav
 
 
 def _load_image(url: str):
@@ -191,7 +265,8 @@ class OmniOpenAIServingChat:
             # parity: streaming explicitly rejected
             # (reference serving_chat.py:268-269)
             raise ValueError("streaming chat responses are not supported yet")
-        messages, mm = parse_chat_content(request.messages)
+        messages, mm = parse_chat_content(
+            request.messages, request.mm_processor_kwargs)
         prompt = self._render_prompt(messages)
         if mm:
             prompt["multi_modal_data"] = mm

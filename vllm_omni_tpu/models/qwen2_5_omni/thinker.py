@@ -158,11 +158,80 @@ class Qwen2_5OmniThinkerForConditionalGeneration:
         video_feats = []
         video_grids = []
         for vid in multi_modal_data.get("video", []):
-            patches, grid = vid["patches"], tuple(vid["grid_thw"])
+            if isinstance(vid, dict):
+                patches, grid = vid["patches"], tuple(vid["grid_thw"])
+            else:
+                from vllm_omni_tpu.multimodal.processor import (
+                    preprocess_video,
+                )
+
+                patches, grid = preprocess_video(
+                    vid,
+                    patch_size=self.vision_cfg.patch_size,
+                    merge_size=self.vision_cfg.spatial_merge_size,
+                    temporal_patch_size=self.vision_cfg.temporal_patch_size,
+                    **mm_kwargs.get("video", {}),
+                )
             video_grids.append(grid)
             video_feats.append(
                 self.visual.forward(params["visual"], jnp.asarray(patches), [grid])
             )
+
+        # expand single placeholders to feature-count runs (the serving
+        # path tokenizes one <|IMAGE|>/<|AUDIO|>/<|VIDEO|> special per
+        # item; pre-expanded ids pass through untouched). Parity: the HF
+        # processor's placeholder expansion incl. use_audio_in_video
+        # time-chunk interleaving (reference reaches it via HF).
+        from vllm_omni_tpu.multimodal.processor import (
+            build_video_audio_interleave,
+            expand_placeholders,
+        )
+
+        use_aiv = bool(multi_modal_data.get("use_audio_in_video", False))
+        ids_list = ids.tolist()
+
+        def counts(feats):
+            return [int(np.asarray(f).shape[0]) for f in feats]
+
+        def maybe_expand(ids_list, token_id, lens):
+            occ = sum(1 for t in ids_list if t == token_id)
+            if lens and occ == len(lens) and occ != sum(lens):
+                return expand_placeholders(ids_list, {token_id: lens})
+            return ids_list
+
+        ids_list = maybe_expand(ids_list, tk.image_token_id,
+                                counts(image_feats))
+        if use_aiv and video_feats:
+            # i-th <|VIDEO|> becomes the chunk-interleaved video+audio
+            # run (audio item i pairs with video item i)
+            spg = multi_modal_data.get("second_per_grids") or [1.0] * len(
+                video_grids)
+            if ids_list.count(tk.video_token_id) == len(video_feats):
+                out: list[int] = []
+                vi = 0
+                for t in ids_list:
+                    if t == tk.video_token_id and vi < len(video_feats):
+                        out.extend(build_video_audio_interleave(
+                            video_grids[vi],
+                            int(np.asarray(audio_feats[vi]).shape[0]),
+                            tk.video_token_id, tk.audio_token_id,
+                            second_per_grid=float(spg[vi]),
+                            merge_size=self.vision_cfg.spatial_merge_size,
+                            position_id_per_seconds=(
+                                self.mrope_params.position_id_per_seconds),
+                            seconds_per_chunk=(
+                                self.mrope_params.seconds_per_chunk),
+                        ))
+                        vi += 1
+                    else:
+                        out.append(t)
+                ids_list = out
+        else:
+            ids_list = maybe_expand(ids_list, tk.video_token_id,
+                                    counts(video_feats))
+            ids_list = maybe_expand(ids_list, tk.audio_token_id,
+                                    counts(audio_feats))
+        ids = np.asarray(ids_list, np.int64)
 
         # text embeds + feature splice at placeholder positions
         embeds = np.array(
@@ -197,6 +266,7 @@ class Qwen2_5OmniThinkerForConditionalGeneration:
                 multi_modal_data.get("use_audio_in_video", False)),
         )
         return {
+            "token_ids": ids.tolist(),
             "prompt_embeds": embeds,
             "mrope_positions": positions,
             "mrope_delta": delta,

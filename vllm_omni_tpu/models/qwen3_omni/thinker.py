@@ -163,6 +163,18 @@ class Qwen3OmniMoeThinkerForConditionalGeneration:
             for item in multi_modal_data.get(key, []):
                 if isinstance(item, dict):
                     patches, grid = item["patches"], tuple(item["grid_thw"])
+                elif key == "video":
+                    from vllm_omni_tpu.multimodal.processor import (
+                        preprocess_video,
+                    )
+
+                    patches, grid = preprocess_video(
+                        item,
+                        patch_size=self.vision_cfg.patch_size,
+                        merge_size=self.vision_cfg.spatial_merge_size,
+                        temporal_patch_size=self.vision_cfg.temporal_patch_size,
+                        **mm_kwargs.get("video", {}),
+                    )
                 else:
                     patches, grid = preprocess_image(
                         item,
@@ -176,6 +188,26 @@ class Qwen3OmniMoeThinkerForConditionalGeneration:
                     params["visual"], jnp.asarray(patches), [grid])
                 feats.append(out)
                 deeps.append(deep)
+
+        # expand single placeholders to feature-count runs (serving path;
+        # pre-expanded ids pass through). use_audio_in_video interleaved
+        # layouts must arrive pre-expanded for Qwen3-Omni.
+        from vllm_omni_tpu.multimodal.processor import expand_placeholders
+
+        ids_list = ids.tolist()
+
+        def maybe_expand(ids_list, token_id, feats):
+            lens = [int(np.asarray(f).shape[0]) for f in feats]
+            occ = sum(1 for t in ids_list if t == token_id)
+            if lens and occ == len(lens) and occ != sum(lens):
+                return expand_placeholders(ids_list, {token_id: lens})
+            return ids_list
+
+        if not multi_modal_data.get("use_audio_in_video"):
+            ids_list = maybe_expand(ids_list, tk.image_token_id, image_feats)
+            ids_list = maybe_expand(ids_list, tk.video_token_id, video_feats)
+            ids_list = maybe_expand(ids_list, tk.audio_token_id, audio_feats)
+        ids = np.asarray(ids_list, np.int64)
 
         embeds = np.array(
             self.text.embed_tokens(
@@ -215,6 +247,7 @@ class Qwen3OmniMoeThinkerForConditionalGeneration:
                 multi_modal_data.get("use_audio_in_video", False)),
         )
         return {
+            "token_ids": ids.tolist(),
             "prompt_embeds": embeds,
             "mrope_positions": positions,
             "mrope_delta": delta,
