@@ -106,10 +106,15 @@ def test_cfg_matches_manual():
     mu = scheduling.calculate_shift(16)
     sched = scheduling.set_timesteps(1, mu=mu)
     t = jnp.full((1,), sched.timesteps[0] / 1000.0, jnp.float32)
-    ids = flux_image_ids(4, 4)
+    # the pipeline's per-arch position-id scheme (Ovis text ids [0, i, i],
+    # reference pipeline_ovis_image.py:290-293)
+    ids = OvisImagePipeline.image_ids(4, 4, 4)
+    tids = OvisImagePipeline.text_ids(4)
     tp = pipe.params["transformer"]
-    pos = pipe.transformer.forward(tp, latents, jnp.asarray(embeds), t, ids)
-    negp = pipe.transformer.forward(tp, latents, jnp.asarray(neg), t, ids)
+    pos = pipe.transformer.forward(
+        tp, latents, jnp.asarray(embeds), t, ids, tids)
+    negp = pipe.transformer.forward(
+        tp, latents, jnp.asarray(neg), t, ids, tids)
     vel = negp + 4.0 * (pos - negp)
     ref = scheduling.step(latents, vel, sched.sigmas[0], sched.sigmas[1])
     np.testing.assert_allclose(np.asarray(lat), np.asarray(ref),

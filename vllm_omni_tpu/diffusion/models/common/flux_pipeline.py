@@ -38,6 +38,30 @@ class FluxLikePipeline:
     ffn_kind = "swiglu"
     context_norm = True
     transformer_subdir = "transformer"
+    # position-id scheme (reference per-arch prepare_pos_ids):
+    # Ovis: text [0, i, i], image [0, h, w];
+    # LongCat: text [0, i, i], image [1, h+Ltxt, w+Ltxt] (modality ids +
+    # text-length offset, pipeline_longcat_image.py:110-142,362,412)
+    img_modality = 0
+    img_offset_by_txt = False
+
+    @classmethod
+    def text_ids(cls, n: int) -> "np.ndarray":
+        import numpy as np
+
+        ids = np.zeros((n, 3), np.int32)
+        ids[:, 1] = np.arange(n)
+        ids[:, 2] = np.arange(n)
+        return ids
+
+    @classmethod
+    def image_ids(cls, gh: int, gw: int, txt_len: int) -> "np.ndarray":
+        ids = flux_image_ids(gh, gw).copy()
+        ids[:, 0] = cls.img_modality
+        if cls.img_offset_by_txt:
+            ids[:, 1] += txt_len
+            ids[:, 2] += txt_len
+        return ids
 
     def __init__(
         self,
@@ -111,28 +135,46 @@ class FluxLikePipeline:
 
     def _build_denoise_step(self):
         transformer = self.transformer
+        cls = type(self)
 
-        @partial(jax.jit, static_argnames=("do_cfg", "grid"))
+        @partial(jax.jit, static_argnames=("do_cfg", "grid", "n_cond"))
         def denoise_step(params, latents, txt, t, sigma, sigma_next,
-                         guidance_scale, do_cfg: bool, grid: tuple):
-            import numpy as np
-
+                         guidance_scale, do_cfg: bool, grid: tuple,
+                         cond_latents=None, n_cond: int = 0):
             B = latents.shape[0]
-            img_ids = flux_image_ids(*grid)
+            Ltxt = txt.shape[1]
+            n_gen = latents.shape[1]
+            img_ids = cls.image_ids(*grid, Ltxt)
+            txt_ids = cls.text_ids(Ltxt)
+            lat = latents
+            if n_cond:
+                # edit conditioning: condition latents appended on the
+                # sequence, modality id 2, same text offset (reference
+                # pipeline_longcat_image_edit.py:430-438,607-616)
+                cond_ids = cls.image_ids(*grid, Ltxt)
+                cond_ids[:, 0] = 2
+                import numpy as np
+
+                img_ids = np.concatenate([img_ids, cond_ids], axis=0)
+                lat = jnp.concatenate([latents, cond_latents], axis=1)
             if do_cfg:
-                lat_in = jnp.concatenate([latents, latents], axis=0)
+                lat_in = jnp.concatenate([lat, lat], axis=0)
                 tvec = jnp.full((2 * B,), t, jnp.float32)
                 pred = transformer.forward(params, lat_in, txt, tvec,
-                                           img_ids)
+                                           img_ids, txt_ids)[:, :n_gen]
                 pos, neg = pred[:B], pred[B:]
                 velocity = neg + guidance_scale * (pos - neg)
             else:
                 tvec = jnp.full((B,), t, jnp.float32)
-                velocity = transformer.forward(params, latents, txt, tvec,
-                                               img_ids)
+                velocity = transformer.forward(params, lat, txt, tvec,
+                                               img_ids, txt_ids)[:, :n_gen]
             return scheduling.step(latents, velocity, sigma, sigma_next)
 
         return denoise_step
+
+    def prepare_condition(self, req, height, width):
+        """Edit subclasses return packed condition latents; None = t2i."""
+        return None
 
     # ------------------------------------------------------------ forward
     def forward(self, req: OmniDiffusionRequest):
@@ -179,6 +221,9 @@ class FluxLikePipeline:
                 jax.random.key(seed), (B, zc, lat_h, lat_w), jnp.float32)
             latents = pack_latents(noise).astype(self.dtype)
 
+        cond_latents = self.prepare_condition(req, height, width)
+        n_cond = int(cond_latents.shape[1]) if cond_latents is not None else 0
+
         sc = self.scheduler_config
         mu = scheduling.calculate_shift(
             gh * gw, sc.get("base_image_seq_len", 256),
@@ -217,7 +262,7 @@ class FluxLikePipeline:
                 self.params["transformer"], latents, txt, t,
                 sched.sigmas[i], sched.sigmas[i + 1],
                 jnp.float32(req.guidance_scale), do_cfg=do_cfg,
-                grid=(gh, gw))
+                grid=(gh, gw), cond_latents=cond_latents, n_cond=n_cond)
             if cache is not None:
                 cache.observe(i, prev, latents, sched.sigmas[i],
                               sched.sigmas[i + 1])

@@ -2,10 +2,12 @@ from vllm_omni_tpu.diffusion.models.qwen_image.pipeline import (
     QwenImagePipeline,
     QwenImageEditPipeline,
     QwenImageEditPlusPipeline,
+    QwenImageLayeredPipeline,
 )
 
 __all__ = [
     "QwenImagePipeline",
     "QwenImageEditPipeline",
     "QwenImageEditPlusPipeline",
+    "QwenImageLayeredPipeline",
 ]

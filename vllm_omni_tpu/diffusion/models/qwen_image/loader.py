@@ -70,6 +70,7 @@ _TOP_MAP = {
     "time_text_embed.timestep_embedder.linear_1.bias": ("time_embed.mlp1.b", False),
     "time_text_embed.timestep_embedder.linear_2.weight": ("time_embed.mlp2.w", True),
     "time_text_embed.timestep_embedder.linear_2.bias": ("time_embed.mlp2.b", False),
+    "time_text_embed.addition_t_embedding.weight": ("addition_t_embedding", False),
     "norm_out.linear.weight": ("norm_out.w", True),
     "norm_out.linear.bias": ("norm_out.b", False),
     "proj_out.weight": ("proj_out.w", True),

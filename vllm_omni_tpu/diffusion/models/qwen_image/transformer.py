@@ -47,6 +47,13 @@ class QwenImageTransformerConfig:
     joint_attention_dim: int = 3584
     axes_dims_rope: tuple[int, int, int] = (16, 56, 56)
     eps: float = 1e-6
+    # Layered variant (reference qwen_image_transformer.py:640-690):
+    # layer-3D rope (condition segment at frame index -1, text offset also
+    # covers the layer count), binary is_rgb timestep conditioning, and
+    # zero-timestep modulation for condition tokens.
+    use_layer3d_rope: bool = False
+    use_additional_t_cond: bool = False
+    zero_cond_t: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -57,6 +64,7 @@ class QwenImageTransformerConfig:
         keys = {
             "patch_size", "in_channels", "out_channels", "num_layers",
             "attention_head_dim", "num_attention_heads", "joint_attention_dim",
+            "use_layer3d_rope", "use_additional_t_cond", "zero_cond_t",
         }
         kwargs = {k: v for k, v in d.items() if k in keys and v is not None}
         if "axes_dims_rope" in d:
@@ -104,7 +112,7 @@ class QwenImageTransformer2DModel:
             "img_mlp": {"fc1": lin(dim, 4 * dim), "fc2": lin(4 * dim, dim)},
             "txt_mlp": {"fc1": lin(dim, 4 * dim), "fc2": lin(4 * dim, dim)},
         }
-        return {
+        params = {
             "img_in": lin(c.in_channels, dim, layers=False),
             "txt_norm": jnp.ones((c.joint_attention_dim,), dt),
             "txt_in": lin(c.joint_attention_dim, dim, layers=False),
@@ -118,6 +126,9 @@ class QwenImageTransformer2DModel:
                 dim, c.patch_size * c.patch_size * c.out_channels, layers=False
             ),
         }
+        if c.use_additional_t_cond:
+            params["addition_t_embedding"] = w((2, dim))
+        return params
 
     def load_weights(self, path: str, prefix: str = "") -> dict[str, Any]:
         from vllm_omni_tpu.diffusion.models.qwen_image.loader import (
@@ -135,8 +146,9 @@ class QwenImageTransformer2DModel:
         img: jax.Array,  # [B, Nimg, in_channels] packed latents
         txt: jax.Array,  # [B, Ntxt, joint_attention_dim]
         timestep: jax.Array,  # [B] (already divided by 1000)
-        img_shape: tuple[int, int, int],  # (frames, H//2, W//2) patch grid
+        img_shape: tuple,  # (f, H//2, W//2) or tuple of such segments
         txt_mask: Optional[jax.Array] = None,  # [B, Ntxt] bool
+        additional_t_cond: Optional[jax.Array] = None,  # [B] int (is_rgb)
     ) -> jax.Array:
         c = self.cfg
         B, Nimg, _ = img.shape
@@ -144,18 +156,57 @@ class QwenImageTransformer2DModel:
         H = c.num_attention_heads
         D = c.attention_head_dim
         eps = c.eps
-        f, gh, gw = img_shape
+        # multi-segment streams (edit conditioning / layered generation):
+        # img_shape may be a tuple of (f, gh, gw) patch grids concatenated
+        # on the token axis; rope frame offsets follow QwenEmbedRope
+        # (segment index) or QwenEmbedLayer3DRope (condition at -1)
+        # semantics (reference qwen_image_transformer.py:101-177,222-300).
+        shapes = (img_shape if isinstance(img_shape[0], (tuple, list))
+                  else (img_shape,))
+        n_seg = len(shapes)
 
         temb = timestep_embed(params["time_embed"], timestep, c.inner_dim)
+        if c.use_additional_t_cond:
+            if additional_t_cond is None:
+                raise ValueError("model requires additional_t_cond (is_rgb)")
+            temb = temb + params["addition_t_embedding"][
+                jnp.asarray(additional_t_cond, jnp.int32)]
         temb_act = jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype)
+        # zero_cond_t: condition tokens (every segment after the first)
+        # are modulated with the t=0 embedding (reference :742-800)
+        temb0_act = None
+        n_first = Nimg
+        if c.zero_cond_t and n_seg > 1:
+            temb0 = timestep_embed(
+                params["time_embed"], jnp.zeros_like(timestep), c.inner_dim)
+            if c.use_additional_t_cond:
+                temb0 = temb0 + params["addition_t_embedding"][
+                    jnp.asarray(additional_t_cond, jnp.int32)]
+            temb0_act = jax.nn.silu(
+                temb0.astype(jnp.float32)).astype(temb0.dtype)
+            f0, gh0, gw0 = shapes[0]
+            n_first = f0 * gh0 * gw0
 
         img_h = linear(img, params["img_in"]["w"], params["img_in"]["b"])
         txt_n = rms_norm(txt, params["txt_norm"], eps)
         txt_h = linear(txt_n, params["txt_in"]["w"], params["txt_in"]["b"])
 
-        img_angles = rope_3d_freqs(f, gh, gw, c.axes_dims_rope)
+        segs = []
+        max_vid = 0
+        for i, s in enumerate(shapes):
+            f, gh, gw = s
+            if c.use_layer3d_rope and n_seg > 1 and i == n_seg - 1:
+                off = -1  # condition image segment
+            else:
+                off = i
+            segs.append(rope_3d_freqs(
+                f, gh, gw, c.axes_dims_rope, frame_offset=off))
+            max_vid = max(max_vid, gh // 2, gw // 2)
+        img_angles = jnp.concatenate(segs, axis=0)
+        if c.use_layer3d_rope:
+            max_vid = max(max_vid, n_seg - 1)
         txt_angles = rope_text_freqs(
-            Ntxt, D // 2, c.axes_dims_rope, start=max(gh // 2, gw // 2)
+            Ntxt, D // 2, c.axes_dims_rope, start=max_vid
         )
 
         attn_mask = None
@@ -166,6 +217,25 @@ class QwenImageTransformer2DModel:
             )
             attn_mask = key_mask[:, None, :]  # [B, 1, Ltot]
 
+        def mod_img(x, mod_t, mod_0):
+            """Modulate image tokens; with zero_cond_t, condition tokens
+            (after n_first) take the t=0 modulation."""
+            out_t, gate_t = modulate(x, mod_t, eps)
+            if mod_0 is None:
+                return out_t, gate_t
+            out_0, gate_0 = modulate(x, mod_0, eps)
+            out = jnp.concatenate(
+                [out_t[:, :n_first], out_0[:, n_first:]], axis=1)
+            gate = (gate_t, gate_0)  # applied per segment by caller
+            return out, gate
+
+        def gate_apply(gate, y):
+            if not isinstance(gate, tuple):
+                return gate * y
+            gate_t, gate_0 = gate
+            return jnp.concatenate(
+                [gate_t * y[:, :n_first], gate_0 * y[:, n_first:]], axis=1)
+
         def block(carry, p):
             img_h, txt_h = carry
             a = p["attn"]
@@ -173,8 +243,13 @@ class QwenImageTransformer2DModel:
             txt_mod = linear(temb_act, p["txt_mod"]["w"], p["txt_mod"]["b"])
             img_mod1, img_mod2 = jnp.split(img_mod, 2, axis=-1)
             txt_mod1, txt_mod2 = jnp.split(txt_mod, 2, axis=-1)
+            img_mod1_0 = img_mod2_0 = None
+            if temb0_act is not None:
+                img_mod_0 = linear(
+                    temb0_act, p["img_mod"]["w"], p["img_mod"]["b"])
+                img_mod1_0, img_mod2_0 = jnp.split(img_mod_0, 2, axis=-1)
 
-            img_md, img_gate1 = modulate(img_h, img_mod1, eps)
+            img_md, img_gate1 = mod_img(img_h, img_mod1, img_mod1_0)
             txt_md, txt_gate1 = modulate(txt_h, txt_mod1, eps)
 
             def heads(x, pr):
@@ -202,16 +277,16 @@ class QwenImageTransformer2DModel:
             img_attn = linear(o_i, a["to_out"]["w"], a["to_out"]["b"])
             txt_attn = linear(o_t, a["to_add_out"]["w"], a["to_add_out"]["b"])
 
-            img_h = img_h + img_gate1 * img_attn
+            img_h = img_h + gate_apply(img_gate1, img_attn)
             txt_h = txt_h + txt_gate1 * txt_attn
 
-            img_md2, img_gate2 = modulate(img_h, img_mod2, eps)
+            img_md2, img_gate2 = mod_img(img_h, img_mod2, img_mod2_0)
             mlp = p["img_mlp"]
             img_mlp = linear(
                 gelu_approx(linear(img_md2, mlp["fc1"]["w"], mlp["fc1"]["b"])),
                 mlp["fc2"]["w"], mlp["fc2"]["b"],
             )
-            img_h = img_h + img_gate2 * img_mlp
+            img_h = img_h + gate_apply(img_gate2, img_mlp)
 
             txt_md2, txt_gate2 = modulate(txt_h, txt_mod2, eps)
             mlp = p["txt_mlp"]

@@ -39,6 +39,11 @@ class OmniDiffusionRequest:
     image: Optional[Any] = None  # input image(s) for edit/i2v
     image_embeds: Optional[Any] = None  # CLIP embeds (Wan i2v)
     strength: float = 1.0
+    # layered decomposition (QwenImageLayeredPipeline; reference
+    # request fields layers/resolution/use_en_prompt)
+    layers: Optional[int] = None
+    resolution: Optional[int] = None
+    use_en_prompt: bool = False
     output_type: str = "pil"  # "pil" | "np" | "latent"
     # trajectory capture (reference request.py trajectory fields)
     return_trajectory: bool = False

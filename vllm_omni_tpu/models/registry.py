@@ -51,12 +51,14 @@ _DIFFUSION_PIPELINES: dict[str, tuple[str, str]] = {
     "QwenImagePipeline": ("qwen_image", "QwenImagePipeline"),
     "QwenImageEditPipeline": ("qwen_image", "QwenImageEditPipeline"),
     "QwenImageEditPlusPipeline": ("qwen_image", "QwenImageEditPlusPipeline"),
+    "QwenImageLayeredPipeline": ("qwen_image", "QwenImageLayeredPipeline"),
     "StableDiffusion3Pipeline": ("sd3", "StableDiffusion3Pipeline"),
     "WanPipeline": ("wan2_2", "WanPipeline"),
     "WanImageToVideoPipeline": ("wan2_2", "WanImageToVideoPipeline"),
     "ZImagePipeline": ("z_image", "ZImagePipeline"),
     "OvisImagePipeline": ("ovis_image", "OvisImagePipeline"),
     "LongCatImagePipeline": ("longcat_image", "LongCatImagePipeline"),
+    "LongcatImageEditPipeline": ("longcat_image", "LongcatImageEditPipeline"),
 }
 
 
