@@ -152,6 +152,15 @@ def get_attention_impl():
     return _ATTENTION_IMPL
 
 
+# sequence length from which the Pallas flash kernel takes over from the
+# XLA-fused dense path (the dense path materializes the [L, Lk] score
+# matrix in HBM; flash keeps it in VMEM tiles). Override via env.
+def _flash_min_seq() -> int:
+    import os
+
+    return int(os.environ.get("OMNI_TPU_FLASH_MIN_SEQ", "4096"))
+
+
 def dense_attention(
     q: jax.Array,  # [B, L, H, D]
     k: jax.Array,  # [B, Lk, H, D]
@@ -159,10 +168,30 @@ def dense_attention(
     scale: Optional[float] = None,
     mask: Optional[jax.Array] = None,  # [B, L, Lk] or broadcastable
 ) -> jax.Array:
-    """Plain dense attention; XLA fuses/flashes this on TPU for the DiT
-    sequence lengths. [B, L, H, D] out."""
+    """Dense attention front door for the DiT blocks: XLA-fused dense
+    kernel for short sequences, Pallas flash above _flash_min_seq()
+    (long-sequence Wan2.2 video). [B, L, H, D] out."""
     if _ATTENTION_IMPL is not None:
         return _ATTENTION_IMPL(q, k, v, scale, mask)
+    L, Lk = q.shape[1], k.shape[1]
+    key_mask = None
+    flash_ok = max(L, Lk) >= _flash_min_seq()
+    if mask is not None:
+        # flash path supports key-validity masks ([B, 1, Lk] / [B, Lk]);
+        # full per-query masks fall back to the dense kernel
+        if mask.ndim == 3 and mask.shape[1] == 1:
+            key_mask = mask[:, 0, :]
+        elif mask.ndim == 2:
+            key_mask = mask
+        else:
+            flash_ok = False
+    if flash_ok:
+        from vllm_omni_tpu.ops.attention.pallas_flash import flash_attention
+
+        return flash_attention(
+            q, k, v, scale=scale, kv_mask=key_mask,
+            interpret=jax.default_backend() == "cpu",
+        )
     return dense_attention_base(q, k, v, scale=scale, mask=mask)
 
 
