@@ -64,6 +64,24 @@ class Scheduler:
         self._rows_to_reset: set[int] = set()
         self._finished_this_step: list[str] = []
         self.num_preemptions = 0
+        # context-parallel prefill (set_cp_prefill): long prompts bypass
+        # the token budget — the runner prefills them sequence-sharded
+        self._cp_hook = None
+        self._cp_threshold = 0
+        self._cp_align = 1
+
+    def set_cp_prefill(self, hook, threshold: int, align: int) -> None:
+        """Install the engine's context-parallel prefill hook.
+
+        hook(req, n, slot_mapping) runs a ring-attention prefill of the
+        request's first n prompt tokens on the mesh "seq" axis and commits
+        their KV; the scheduler then treats them as computed and the
+        remaining prompt tail (>= 1 token, so logits/sampling stay on the
+        standard path) goes through normal chunked prefill.
+        """
+        self._cp_hook = hook
+        self._cp_threshold = threshold
+        self._cp_align = align
 
     # ------------------------------------------------------------------ API
     def add_request(self, request: Request) -> None:
@@ -188,6 +206,31 @@ class Scheduler:
                     req.request_id, req.prompt_token_ids)
                 req.num_computed_tokens = min(
                     cached, max(req.num_prompt_tokens - 1, 0))
+            sp_req = req.sampling_params
+            if (self._cp_hook is not None
+                    and req.num_computed_tokens == 0
+                    and req.prompt_embeds is None
+                    and req.mrope_positions is None
+                    # penalty state observes prompt tokens step by step;
+                    # CP'd tokens never enter a descriptor, so requests
+                    # with penalties keep the exact standard path
+                    and sp_req.repetition_penalty == 1.0
+                    and sp_req.presence_penalty == 0.0
+                    and sp_req.frequency_penalty == 0.0
+                    and req.num_prompt_tokens - 1 >= self._cp_threshold):
+                cp_n = ((req.num_prompt_tokens - 1) // self._cp_align
+                        ) * self._cp_align
+                if cp_n >= self._cp_align:
+                    if self.kv.allocate(req.request_id, cp_n) is None:
+                        break  # memory pressure: retry next schedule()
+                    blocks = np.asarray(
+                        self.kv.get_blocks(req.request_id), np.int32)
+                    pos = np.arange(cp_n)
+                    slots = (blocks[pos // self.block_size]
+                             * self.block_size
+                             + pos % self.block_size).astype(np.int32)
+                    self._cp_hook(req, cp_n, slots)
+                    req.num_computed_tokens = cp_n
             known = req.num_prompt_tokens + req.num_output_tokens
             remaining = known - req.num_computed_tokens
             if remaining <= 0:

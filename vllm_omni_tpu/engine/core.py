@@ -72,6 +72,18 @@ class EngineCore:
             use_mrope=getattr(self.runner.model, "mrope_section", None)
             is not None,
         )
+        if self.runner.supports_cp_prefill:
+            # long prompts prefill context-parallel over the mesh "seq"
+            # axis (ring attention), bypassing the per-step token budget
+            sp = config.parallel_config.sequence_parallel_size
+            thr = int(os.environ.get("OMNI_TPU_CP_PREFILL_THRESHOLD",
+                                     config.scheduler_config
+                                     .max_num_batched_tokens))
+            self.scheduler.set_cp_prefill(
+                lambda req, n, slots: self.runner.cp_prefill(
+                    np.asarray(req.prompt_token_ids[:n], np.int32), slots),
+                threshold=thr, align=8 * sp,
+            )
         mc = config.model_config
         # multi-step windows carry only final-substep aux: text-only
         if (mc.engine_output_type != "text"

@@ -431,6 +431,68 @@ class ModelRunner:
         )
         return jax.jit(sharded, donate_argnums=donate_argnums)
 
+    # ------------------------------------------------- CP (long prefill)
+    @property
+    def supports_cp_prefill(self) -> bool:
+        pc = self.config.parallel_config
+        return (
+            self.mesh is not None
+            and pc.sequence_parallel_size > 1
+            and hasattr(self.model, "forward_cp_prefill")
+            and not getattr(self.model, "sliding_window", 0)
+        )
+
+    def cp_prefill(self, token_ids: np.ndarray, slot_mapping: np.ndarray,
+                   ) -> None:
+        """Prefill `token_ids` (global positions 0..n-1) context-parallel
+        over the mesh "seq" axis and commit their K/V into the paged
+        cache. n must be a multiple of the seq-axis size."""
+        n = int(token_ids.shape[0])
+        fn = self._cp_fns.get(n) if hasattr(self, "_cp_fns") else None
+        if not hasattr(self, "_cp_fns"):
+            self._cp_fns = {}
+        if fn is None:
+            fn = self._cp_fns[n] = self._build_cp_fn()
+        self.kv_cache = fn(
+            self.params, self.kv_cache,
+            jnp.asarray(token_ids, jnp.int32),
+            jnp.asarray(slot_mapping, jnp.int32),
+            jnp.arange(n, dtype=jnp.int32),
+        )
+
+    def _build_cp_fn(self) -> Callable:
+        from vllm_omni_tpu.ops.attention.ragged_paged import (
+            commit_kv_all_layers,
+        )
+        from vllm_omni_tpu.parallel.sharding import REPLICATED
+
+        model = self.model
+        tp_axis = "model" if self.tp > 1 else None
+        seq_spec = jax.sharding.PartitionSpec("seq")
+
+        def body(params, kv_cache, tokens, slots, positions):
+            embeds = model.embed_tokens(params, tokens)
+            k_all, v_all = model.forward_cp_prefill(
+                params, embeds, positions, seq_axis="seq", tp_axis=tp_axis)
+            # gather the token shards -> full-prompt K/V on every device
+            # (one-shot prefill cost; the paged cache stays head-sharded
+            # over the model axis exactly as in the standard path)
+            k_full = jax.lax.all_gather(k_all, "seq", axis=1, tiled=True)
+            v_full = jax.lax.all_gather(v_all, "seq", axis=1, tiled=True)
+            k_c, v_c = commit_kv_all_layers(
+                kv_cache["k"], kv_cache["v"], k_full, v_full, slots)
+            return {"k": k_c, "v": v_c}
+
+        sharded = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(self.param_specs, self.kv_specs, seq_spec,
+                      REPLICATED, seq_spec),
+            out_specs=self.kv_specs,
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(1,))
+
     def desc_to_device_dict(self, desc: BatchDescriptor) -> dict[str, Any]:
         ints = np.concatenate([
             desc.token_ids, desc.positions, desc.token_rows,

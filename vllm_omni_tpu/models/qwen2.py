@@ -215,6 +215,73 @@ class Qwen2ForCausalLM:
         hidden = rms_norm(hidden, params["norm"], self.eps)
         return hidden, {"k": new_k, "v": new_v}
 
+    def forward_cp_prefill(
+        self,
+        params: dict[str, Any],
+        hidden: jax.Array,  # [Ts, H] local sequence shard of embeddings
+        positions: jax.Array,  # [Ts] global positions of the shard
+        seq_axis: str,
+        tp_axis: Optional[str] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Context-parallel long-prompt prefill: the prompt is sharded on
+        the `seq_axis` mesh axis, attention runs as causal ring attention
+        (KV shards rotate over ICI, parallel/ring.py) — the sequence-
+        parallel long-context prefill the reference only surfaces as
+        device accounting (reference omni_stage.py:458
+        prefill_context_parallel_size; ring declared-but-unbuilt in
+        diffusion/attention/parallel/factory.py:31-45).
+
+        Returns per-layer (k, v) for the LOCAL token shard
+        ([L, Ts, Hkv_local, D]); the caller gathers shards and commits
+        them to the paged cache. No logits: CP covers prompt tokens whose
+        outputs are never sampled (the final prompt token goes through
+        the standard chunked path).
+        """
+        from vllm_omni_tpu.parallel.ring import ring_attention
+        from vllm_omni_tpu.parallel.sharding import psum_if
+
+        T = hidden.shape[0]
+        lp = params["layers"]
+        cos, sin = self._cos, self._sin
+
+        def layer(h, xs):
+            p, li = xs
+            res = h
+            h_n = rms_norm(h, p["input_layernorm"], self.eps)
+            q = linear(h_n, p["q_proj"], p.get("q_bias"))
+            k = linear(h_n, p["k_proj"], p.get("k_bias"))
+            v = linear(h_n, p["v_proj"], p.get("v_bias"))
+            q = q.reshape(T, -1, self.D)
+            k = k.reshape(T, -1, self.D)
+            v = v.reshape(T, -1, self.D)
+            if self.qk_norm:
+                q = rms_norm(q, p["q_norm"], self.eps)
+                k = rms_norm(k, p["k_norm"], self.eps)
+            q, k = apply_rope(q, k, positions, cos, sin, theta=self.theta)
+            G = q.shape[1] // k.shape[1]
+            kr = jnp.repeat(k, G, axis=1) if G > 1 else k
+            vr = jnp.repeat(v, G, axis=1) if G > 1 else v
+            attn = ring_attention(
+                q[None], kr[None], vr[None], axis=seq_axis,
+                scale=self.scale, causal=True,
+            )[0]
+            attn_out = linear(attn.reshape(T, -1), p["o_proj"])
+            h = res + psum_if(attn_out, tp_axis)
+            res = h
+            h_n = rms_norm(h, p["post_attention_layernorm"], self.eps)
+            gate = linear(h_n, p["gate_proj"])
+            up = linear(h_n, p["up_proj"])
+            mlp_out = linear(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(h_n.dtype) * up,
+                p["down_proj"],
+            )
+            h = res + psum_if(mlp_out, tp_axis)
+            return h, (k, v)
+
+        xs = (lp, jnp.arange(self.L, dtype=jnp.int32))
+        _, (k_all, v_all) = jax.lax.scan(layer, hidden, xs)
+        return k_all, v_all
+
     def compute_logits(
         self, params, hidden: jax.Array, tp_axis: Optional[str] = None
     ) -> jax.Array:
