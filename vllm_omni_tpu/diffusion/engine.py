@@ -74,6 +74,13 @@ class DiffusionEngine:
             self.pipeline.cache_backend = get_cache_backend(
                 od_config.cache_config, self.pipeline
             )
+        pc = od_config.parallel_config
+        if pc.data_parallel_size > 1 or pc.vae_parallel_size > 0:
+            from vllm_omni_tpu.diffusion.parallel_placement import (
+                setup_parallel_placement,
+            )
+
+            setup_parallel_placement(self.pipeline, od_config)
 
     def step(self, requests: list[OmniDiffusionRequest]) -> list[OmniRequestOutput]:
         outputs = []

@@ -132,6 +132,9 @@ class FluxLikePipeline:
         self._denoise_step = self._build_denoise_step()
         self._decode = jax.jit(self.vae.decode)
         self.cache_backend = None
+        # DP batch placement hook (parallel_placement.py), identity when
+        # data_parallel_size == 1
+        self._dp_place = lambda x: x
 
     def _build_denoise_step(self):
         transformer = self.transformer
@@ -244,6 +247,12 @@ class FluxLikePipeline:
                                   axis=0)
         else:
             txt = embeds
+
+        # DP: batch axes shard over the 'data' mesh (reference _DP split)
+        latents = self._dp_place(latents)
+        txt = self._dp_place(txt)
+        if cond_latents is not None:
+            cond_latents = self._dp_place(cond_latents)
 
         t0 = time.perf_counter()
         cache = self.cache_backend

@@ -110,6 +110,9 @@ class QwenImagePipeline:
         self._decode = jax.jit(self.vae.decode)
         # cache backend hook (TeaCache-style), set by the engine
         self.cache_backend = None
+        # DP batch placement hook (parallel_placement.py), identity when
+        # data_parallel_size == 1
+        self._dp_place = lambda x: x
 
     def _load_vae_weights(self, path: str):
         from vllm_omni_tpu.diffusion.models.qwen_image.loader import (
@@ -251,6 +254,13 @@ class QwenImagePipeline:
             txt_mask = jnp.concatenate([mask_p, neg_mask_p], axis=0)
         else:
             txt, txt_mask = embeds, mask
+
+        # DP: shard the batch axes over the 'data' mesh (reference _DP
+        # batch split, parallel_state.py:661-668) — GSPMD partitions the
+        # jitted denoise step from these input shardings
+        latents = self._dp_place(latents)
+        txt = self._dp_place(txt)
+        txt_mask = self._dp_place(txt_mask)
 
         # ---- denoise loop (host loop over jitted steps; TeaCache-style
         # skip decisions slot in here)

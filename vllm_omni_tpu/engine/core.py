@@ -47,6 +47,7 @@ class EngineCore:
         model: Optional[Any] = None,
         attention_backend: Optional[str] = None,
         pipeline_depth: Optional[int] = None,
+        devices: Optional[list] = None,
     ):
         import os
         from collections import deque
@@ -64,6 +65,7 @@ class EngineCore:
             load_weights=load_weights,
             model=model,
             attention_backend=attention_backend,
+            devices=devices,
         )
         self.scheduler = Scheduler(
             config.scheduler_config,

@@ -44,6 +44,7 @@ class LLM:
         load_weights: bool = True,
         model_impl: Optional[Any] = None,
         attention_backend: Optional[str] = None,
+        devices: Optional[list] = None,
         **kwargs,
     ):
         if engine_args is None:
@@ -57,6 +58,7 @@ class LLM:
             load_weights=load_weights,
             model=model_impl,
             attention_backend=attention_backend,
+            devices=devices,
         )
         self.tokenizer = maybe_load_tokenizer(self.config.model_config.tokenizer)
         self._counter = Counter()

@@ -84,6 +84,15 @@ class ModelRunner:
         self.prev_sampled = jnp.zeros(S, jnp.int32)
         if self.mesh is not None:
             self._shard_state()
+        elif devices:
+            # pinned single-device placement (DP replica: each engine
+            # replica owns a device slice, reference gpu_ar_worker.py:31-57
+            # local-rank math); jit executes on the operands' device
+            dev = devices[0]
+            self.params = jax.device_put(self.params, dev)
+            self.kv_cache = jax.device_put(self.kv_cache, dev)
+            self.sampling_state = jax.device_put(self.sampling_state, dev)
+            self.prev_sampled = jax.device_put(self.prev_sampled, dev)
         self._step_fns: dict[Any, Callable] = {}
         logger.info(
             "ModelRunner ready: %s, %d KV blocks x %d tokens, %d rows, tp=%d",

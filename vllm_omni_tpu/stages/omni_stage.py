@@ -85,23 +85,64 @@ class OmniStage:
         self.input_processor = config.resolve_input_processor()
         self.ready = threading.Event()
         self.init_error: Optional[BaseException] = None
-        self._thread: Optional[threading.Thread] = None
+        self._threads: list[threading.Thread] = []
+        # stage-level DP: data_parallel_size > 1 on an LLM stage runs N
+        # full engine replicas pulling from the shared task queue
+        # (work-stealing = throughput-balanced routing; parity with the
+        # reference's vLLM AR DP, gpu_ar_worker.py:31-57)
+        self.n_replicas = 1
+        if (config.stage_type == "llm"
+                and engine_factory is None
+                and config.engine_args.data_parallel_size > 1):
+            self.n_replicas = config.engine_args.data_parallel_size
+        self.engines: list = []
+        self._init_lock = threading.Lock()
+        self._ready_count = 0
+
+    @property
+    def _thread(self):  # back-compat alias (single-replica callers)
+        return self._threads[0] if self._threads else None
 
     # ------------------------------------------------------------- setup
     def init_stage_worker(self) -> None:
-        """Start the stage worker thread (engine built inside it).
+        """Start the stage worker thread(s) (engines built inside them).
 
         Parity: init_stage_worker spawning _stage_worker
         (reference omni_stage.py:196-300)."""
-        self._thread = threading.Thread(
-            target=self._stage_worker, name=f"stage-{self.stage_id}",
-            daemon=True,
-        )
-        self._thread.start()
+        for i in range(self.n_replicas):
+            th = threading.Thread(
+                target=self._stage_worker, args=(i,),
+                name=f"stage-{self.stage_id}.{i}", daemon=True,
+            )
+            self._threads.append(th)
+            th.start()
 
-    def _build_engine(self):
+    def _build_engine(self, replica: int = 0):
         if self.engine_factory is not None:
             return self.engine_factory(self.config)
+        if self.n_replicas > 1:
+            # each replica: an independent single-DP engine on its own
+            # device slice (slice width = the engine's non-DP world size)
+            import dataclasses
+
+            import jax
+
+            args = dataclasses.replace(
+                self.config.engine_args, data_parallel_size=1)
+            per = (args.tensor_parallel_size * args.expert_parallel_size
+                   * args.sequence_parallel_size)
+            devs = jax.devices()
+            idx = self.config.runtime.device_indices()
+            if idx is not None:
+                devs = [devs[i] for i in idx]
+            lo = replica * per
+            if lo + per > len(devs):
+                raise ValueError(
+                    f"stage {self.stage_id}: DP replica {replica} needs "
+                    f"devices [{lo}, {lo + per}), only {len(devs)} visible")
+            from vllm_omni_tpu.engine.llm import LLM
+
+            return LLM(engine_args=args, devices=devs[lo:lo + per])
         if self.config.stage_type == "token2wav":
             from vllm_omni_tpu.config.model import ModelConfig
             from vllm_omni_tpu.models.qwen2_5_omni.token2wav_engine import (
@@ -156,14 +197,20 @@ class OmniStage:
         return LLM(engine_args=self.config.engine_args)
 
     # ------------------------------------------------------------ worker
-    def _stage_worker(self) -> None:
+    def _stage_worker(self, replica: int = 0) -> None:
         try:
-            self.engine = self._build_engine()
+            engine = self._build_engine(replica)
         except BaseException as e:  # surfaced by wait_ready
             self.init_error = e
             self.ready.set()
             return
-        self.ready.set()
+        with self._init_lock:
+            self.engines.append(engine)
+            if self.engine is None:
+                self.engine = engine
+            self._ready_count += 1
+            if self._ready_count == self.n_replicas:
+                self.ready.set()
         max_batch = max(1, self.config.runtime.max_batch_size)
         timeout = self.config.runtime.batch_timeout
         while True:
@@ -185,15 +232,16 @@ class OmniStage:
                     self.in_q.put(STOP)
                     break
                 batch.append(nxt)
-            self._run_batch(batch)
+            self._run_batch(batch, engine)
 
-    def _run_batch(self, batch: list[StageTask]) -> None:
+    def _run_batch(self, batch: list[StageTask], engine=None) -> None:
+        engine = engine if engine is not None else self.engine
         t0 = time.monotonic()
         try:
             if self.config.stage_type == "diffusion":
-                outputs = self._run_diffusion_batch(batch)
+                outputs = self._run_diffusion_batch(batch, engine)
             else:
-                outputs = self._run_llm_batch(batch)
+                outputs = self._run_llm_batch(batch, engine)
             gen_time = time.monotonic() - t0
             for task, out in zip(batch, outputs):
                 m = StageRequestMetrics(
@@ -219,16 +267,18 @@ class OmniStage:
                     error=f"{e}\n{tb}",
                 ))
 
-    def _run_llm_batch(self, batch: list[StageTask]):
+    def _run_llm_batch(self, batch: list[StageTask], engine=None):
+        engine = engine if engine is not None else self.engine
         sp_list = [
             prepare_sampling_params(
                 self.config.default_sampling_params, t.sampling_params
             )
             for t in batch
         ]
-        return self.engine.generate([t.prompt for t in batch], sp_list)
+        return engine.generate([t.prompt for t in batch], sp_list)
 
-    def _run_diffusion_batch(self, batch: list[StageTask]):
+    def _run_diffusion_batch(self, batch: list[StageTask], engine=None):
+        engine = engine if engine is not None else self.engine
         from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
 
         reqs = []
@@ -241,7 +291,7 @@ class OmniStage:
                 prompt = kwargs.pop("prompt", "")
             reqs.append(OmniDiffusionRequest(
                 request_id=t.request_id, prompt=prompt, **kwargs))
-        return self.engine.step(reqs)
+        return engine.step(reqs)
 
     # --------------------------------------------------------------- API
     def submit(self, task: StageTask) -> None:
@@ -258,9 +308,11 @@ class OmniStage:
             ) from self.init_error
 
     def shutdown(self) -> None:
-        if self._thread is not None and self._thread.is_alive():
+        alive = [t for t in self._threads if t.is_alive()]
+        for _ in alive:
             self.in_q.put(STOP)
-            self._thread.join(timeout=10)
+        for t in alive:
+            t.join(timeout=10)
 
     def process_engine_inputs(
         self,
