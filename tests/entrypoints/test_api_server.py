@@ -23,7 +23,7 @@ class FakeAsyncOmni:
         self.last_prompt = None
 
     async def generate(self, prompt, request_id=None, sampling_params=None,
-                       output_modality=None):
+                       output_modality=None, stream=False):
         self.last_sampling = sampling_params
         self.last_prompt = prompt
         ro = RequestOutput(
@@ -112,15 +112,19 @@ def test_chat_completion_text_and_audio():
     run(go())
 
 
-def test_chat_stream_rejected():
+def test_chat_stream_supported():
+    # beyond-reference: stream=True now returns SSE (the reference
+    # rejects it; full streaming behavior covered in test_streaming.py)
     async def go():
         async with make_client(engine_client=FakeAsyncOmni()) as c:
             r = await c.post("/v1/chat/completions", json={
                 "messages": [{"role": "user", "content": "hi"}],
                 "stream": True,
             })
-            assert r.status == 400
-            assert "stream" in (await r.json())["error"]["message"]
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            body = await r.text()
+            assert body.rstrip().endswith("data: [DONE]")
 
     run(go())
 

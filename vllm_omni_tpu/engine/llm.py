@@ -232,6 +232,26 @@ class LLM:
                 self._active.pop(co.request_id, None)
         return outs
 
+    def generate_stream(
+        self,
+        prompt: PromptType,
+        sampling_params: Optional[SamplingParams] = None,
+    ):
+        """Yield a partial RequestOutput per engine step for ONE request
+        (finished=True on the last). The streaming path the reference
+        refuses over HTTP (reference serving_chat.py:268-269) — SURVEY §7
+        targets exceeding it."""
+        rid = self.add_request(prompt, sampling_params or SamplingParams())
+        done = False
+        while not done and self.core.has_unfinished():
+            for out in self.step():
+                if out.request_id != rid:
+                    continue
+                yield out
+                done = done or out.finished
+        if not done:
+            raise RuntimeError(f"request {rid} never finished")
+
     def run_to_completion(self, req_ids: set[str]) -> dict[str, RequestOutput]:
         results: dict[str, RequestOutput] = {}
         pending = set(req_ids)

@@ -79,6 +79,27 @@ def build_app(
             req = ChatCompletionRequest(**await request.json())
         except (ValidationError, ValueError) as e:
             return _json_error(str(e))
+        if req.stream:
+            # SSE streaming (beyond-reference; reference rejects it,
+            # serving_chat.py:268-269)
+            resp = web.StreamResponse(headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            })
+            await resp.prepare(request)
+            try:
+                async for event in serving_chat.create_chat_completion_stream(
+                        req):
+                    await resp.write(event.encode())
+            except Exception as e:
+                import json as _json
+
+                logger.exception("streaming chat completion failed")
+                await resp.write(
+                    ("data: " + _json.dumps({"error": str(e)}) + "\n\n"
+                     ).encode())
+            await resp.write_eof()
+            return resp
         try:
             resp = await serving_chat.create_chat_completion(req)
         except ValueError as e:
@@ -97,6 +118,49 @@ def build_app(
             req = CreateSpeechRequest(**await request.json())
         except (ValidationError, ValueError) as e:
             return _json_error(str(e))
+        if req.stream:
+            # chunked-transfer audio: PCM16 chunks flushed as the codec
+            # decodes them — time-to-first-audio is one chunk's decode.
+            # WAV streams get a max-length RIFF header up front (players
+            # treat 0xFFFFFFFF as "until EOF").
+            import numpy as np
+
+            resp = web.StreamResponse(headers={
+                "Content-Type": ("audio/pcm" if req.response_format == "pcm"
+                                 else "audio/wav"),
+                "Cache-Control": "no-cache",
+            })
+            resp.enable_chunked_encoding()
+            await resp.prepare(request)
+            if req.response_format == "wav":
+                import struct
+
+                hdr = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                       + b"fmt " + struct.pack(
+                           "<IHHIIHH", 16, 1, 1, req.sample_rate,
+                           req.sample_rate * 2, 2, 16)
+                       + b"data" + struct.pack("<I", 0xFFFFFFFF))
+                await resp.write(hdr)
+            async for out in engine_client.generate(
+                {"prompt": req.input},
+                request_id=f"speech-{uuid.uuid4().hex[:16]}",
+                output_modality="audio", stream=True,
+            ):
+                ro = out.request_output
+                if ro is None or not ro.outputs[0].multimodal_output:
+                    continue
+                mm = ro.outputs[0].multimodal_output
+                chunk = mm.get("waveform_chunk")
+                if chunk is None and not out.partial:
+                    # non-streaming final stage: emit the whole waveform
+                    chunk = mm.get("waveform")
+                    if chunk is None:
+                        chunk = mm.get("audio")
+                if chunk is not None:
+                    await resp.write(
+                        waveform_to_pcm_bytes(np.asarray(chunk)))
+            await resp.write_eof()
+            return resp
         waveform = None
         async for out in engine_client.generate(
             {"prompt": req.input}, request_id=f"speech-{uuid.uuid4().hex[:16]}",

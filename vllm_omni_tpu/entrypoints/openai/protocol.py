@@ -81,6 +81,10 @@ class CreateSpeechRequest(BaseModel):
     response_format: Literal["wav", "pcm"] = "wav"
     speed: float = 1.0
     sample_rate: int = 24000
+    # chunked-transfer streaming of the audio as codec chunks decode
+    # (beyond-reference: the reference refuses streaming,
+    # serving_speech.py:29-31)
+    stream: bool = False
 
 
 class ImageGenerationRequest(BaseModel):

@@ -258,13 +258,86 @@ class OmniOpenAIServingChat:
         text = "\n".join(f"{m['role']}: {m['content']}" for m in messages)
         return {"prompt": text}
 
+    async def create_chat_completion_stream(
+        self, request: ChatCompletionRequest
+    ):
+        """SSE streaming (beyond-reference: the reference rejects
+        streaming, serving_chat.py:268-269). Yields OpenAI
+        `chat.completion.chunk` SSE lines; audio-modality pipelines
+        stream per-chunk PCM as `delta.audio.data` (b64) as the codec
+        decodes, so time-to-first-audio is one chunk's decode, not the
+        full utterance."""
+        import json as _json
+        import time as _time
+
+        messages, mm = parse_chat_content(
+            request.messages, request.mm_processor_kwargs)
+        prompt = self._render_prompt(messages)
+        if mm:
+            prompt["multi_modal_data"] = mm
+            if request.mm_processor_kwargs:
+                prompt["mm_processor_kwargs"] = request.mm_processor_kwargs
+        sampling = self._build_sampling(request)
+        modalities = request.modalities or ["text"]
+        request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        output_modality = "text" if modalities == ["text"] else None
+        created = int(_time.time())
+        model = request.model or self.model_name
+
+        def chunk(delta: dict, finish_reason=None) -> str:
+            return "data: " + _json.dumps({
+                "id": request_id,
+                "object": "chat.completion.chunk",
+                "created": created,
+                "model": model,
+                "choices": [{"index": 0, "delta": delta,
+                             "finish_reason": finish_reason}],
+            }) + "\n\n"
+
+        yield chunk({"role": "assistant"})
+        sent_text = 0
+        finish_reason = None
+        async for out in self.engine.generate(
+            prompt, request_id=request_id,
+            sampling_params=sampling or None,
+            output_modality=output_modality, stream=True,
+        ):
+            ro = out.request_output
+            if ro is None:
+                continue
+            comp = ro.outputs[0]
+            if out.final_output_type == "text":
+                text = comp.text or ""
+                if len(text) > sent_text:
+                    yield chunk({"content": text[sent_text:]})
+                    sent_text = len(text)
+                if not out.partial:
+                    finish_reason = comp.finish_reason or "stop"
+            elif out.final_output_type == "audio":
+                mmout = comp.multimodal_output or {}
+                wav_chunk = mmout.get("waveform_chunk")
+                if wav_chunk is None and not out.partial:
+                    wav_chunk = mmout.get("waveform") or mmout.get("audio")
+                if wav_chunk is not None:
+                    from vllm_omni_tpu.entrypoints.audio_utils import (
+                        waveform_to_pcm_bytes,
+                    )
+
+                    yield chunk({"audio": {
+                        "id": f"audio-{uuid.uuid4().hex[:16]}",
+                        "data": base64.b64encode(waveform_to_pcm_bytes(
+                            np.asarray(wav_chunk))).decode("ascii"),
+                        "format": "pcm16",
+                    }})
+        yield chunk({}, finish_reason=finish_reason or "stop")
+        yield "data: [DONE]\n\n"
+
     async def create_chat_completion(
         self, request: ChatCompletionRequest
     ) -> ChatCompletionResponse:
         if request.stream:
-            # parity: streaming explicitly rejected
-            # (reference serving_chat.py:268-269)
-            raise ValueError("streaming chat responses are not supported yet")
+            raise ValueError(
+                "use create_chat_completion_stream for stream=True")
         messages, mm = parse_chat_content(
             request.messages, request.mm_processor_kwargs)
         prompt = self._render_prompt(messages)

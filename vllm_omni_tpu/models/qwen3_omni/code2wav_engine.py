@@ -73,3 +73,41 @@ class Code2WavEngine:
                 finished=True,
             ))
         return outs
+
+    def generate_stream(self, prompt, sampling_params=None):
+        """Yield a partial RequestOutput per decoded waveform chunk (the
+        TTFT speech-streaming path: first audio is ready after ONE
+        chunk's decode instead of the full utterance)."""
+        nq = self.model.cfg.num_quantizers
+        flat = (prompt["prompt_token_ids"] if isinstance(prompt, dict)
+                else list(prompt))
+        if len(flat) % nq:
+            raise ValueError(
+                f"codes length {len(flat)} not a multiple of "
+                f"num_quantizers {nq}")
+        codes = jnp.asarray(np.asarray(flat, np.int32).reshape(nq, -1))[None]
+        T = codes.shape[-1]
+        step = self.chunk_size if self.chunked else T
+        start = 0
+        parts = []
+        while start < T:
+            end = min(start + step, T)
+            ctx = self.left_context if start - self.left_context > 0 else start
+            wav = self.model.forward(self.params, codes[..., start - ctx:end])
+            chunk = wav[ctx * self.model.total_upsample:]
+            parts.append(chunk)
+            start = end
+            finished = start >= T
+            full = jnp.concatenate(parts) if finished else None
+            yield RequestOutput(
+                request_id="c2w", prompt=None,
+                prompt_token_ids=list(flat) if finished else [],
+                outputs=[CompletionOutput(
+                    index=0, text="", token_ids=[],
+                    finish_reason="stop" if finished else None,
+                    multimodal_output={
+                        "waveform_chunk": chunk,
+                        **({"waveform": full} if finished else {}),
+                    })],
+                finished=finished,
+            )

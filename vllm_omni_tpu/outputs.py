@@ -93,6 +93,9 @@ class OmniRequestOutput:
     latents: Optional[Any] = None
     metrics: Optional[DiffusionMetrics] = None
     error: Optional[str] = None
+    # streaming: an incremental emission from a final stage (per token
+    # step / per audio chunk), followed eventually by the full output
+    partial: bool = False
 
     @property
     def is_diffusion(self) -> bool:

@@ -72,6 +72,17 @@ class AsyncOmni(Omni):
                 st.error = so.error
                 st.push(RuntimeError(so.error))
                 continue
+            if so.partial:
+                # incremental emission from a final stage -> stream to the
+                # client; never advances pipeline state
+                if st.stream and so.stage_id in st.pending_final_all:
+                    cfg = self.stages[so.stage_id].config
+                    st.push(OmniRequestOutput(
+                        request_id=st.request_id, stage_id=so.stage_id,
+                        final_output_type=cfg.final_output_type,
+                        request_output=so.output, partial=True,
+                    ))
+                continue
             before = len(st.final_outputs)
             self._handle_stage_output(st, so, st.sps, st.pending_final_all)
             for out in st.final_outputs[before:]:
@@ -90,6 +101,7 @@ class AsyncOmni(Omni):
             SamplingParams, Sequence[SamplingParams], dict, None
         ] = None,
         output_modality: Optional[str] = None,
+        stream: bool = False,
     ) -> AsyncGenerator[OmniRequestOutput, None]:
         loop = asyncio.get_running_loop()
         request_id = request_id or f"omni-{next(self._counter)}"
@@ -102,12 +114,14 @@ class AsyncOmni(Omni):
         st.pending_final = set(final_ids)
         st.pending_final_all = final_ids
         st.sps = self._normalize_sampling(sampling_params, 1)[0]
+        st.stream = stream
         with self._lock:
             self._active[request_id] = st
         self.metrics.on_request_start(request_id)
         first_stage = self.stage_configs[0].stage_id
         self.stages[first_stage].submit(
-            StageTask(request_id, prompt, st.sps.get(first_stage))
+            StageTask(request_id, prompt, st.sps.get(first_stage),
+                      stream=stream and first_stage in final_ids)
         )
         try:
             while True:

@@ -38,6 +38,7 @@ class _RequestState:
         self.final_outputs: list[OmniRequestOutput] = []
         self.pending_final: set[int] = set()
         self.error: Optional[str] = None
+        self.stream = False  # client asked for incremental final outputs
 
     @property
     def done(self) -> bool:
@@ -213,7 +214,9 @@ class Omni:
                     f"stage {nxt_id} input processor: {e}\n"
                     f"{traceback.format_exc()}")
                 return
-            nxt.submit(StageTask(st.request_id, next_input, sps.get(nxt_id)))
+            nxt.submit(StageTask(
+                st.request_id, next_input, sps.get(nxt_id),
+                stream=st.stream and nxt_id in final_ids))
 
     def _normalize_sampling(
         self, sampling_params_list, n: int

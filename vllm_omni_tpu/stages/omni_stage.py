@@ -45,28 +45,33 @@ def prepare_sampling_params(
 class StageTask:
     __slots__ = (
         "request_id", "prompt", "sampling_params", "diffusion_kwargs",
-        "submitted_ts",
+        "submitted_ts", "stream",
     )
 
     def __init__(self, request_id, prompt, sampling_params=None,
-                 diffusion_kwargs=None):
+                 diffusion_kwargs=None, stream=False):
         self.request_id = request_id
         self.prompt = prompt
         self.sampling_params = sampling_params
         self.diffusion_kwargs = diffusion_kwargs or {}
         self.submitted_ts = time.monotonic()
+        # incremental emission: the stage pushes partial StageOutputs
+        # (per token step / per audio chunk) before the final one
+        self.stream = stream
 
 
 class StageOutput:
-    __slots__ = ("request_id", "stage_id", "output", "metrics", "error")
+    __slots__ = ("request_id", "stage_id", "output", "metrics", "error",
+                 "partial")
 
     def __init__(self, request_id, stage_id, output=None, metrics=None,
-                 error=None):
+                 error=None, partial=False):
         self.request_id = request_id
         self.stage_id = stage_id
         self.output = output
         self.metrics = metrics
         self.error = error
+        self.partial = partial
 
 
 class OmniStage:
@@ -218,6 +223,10 @@ class OmniStage:
             if task is STOP:
                 return
             batch = [task]
+            if getattr(task, "stream", False):
+                # streaming tasks run singly (no batch assembly delay)
+                self._run_batch(batch, engine)
+                continue
             # batch assembly (reference omni_stage.py:605-640)
             deadline = time.monotonic() + timeout
             while len(batch) < max_batch:
@@ -238,6 +247,12 @@ class OmniStage:
         engine = engine if engine is not None else self.engine
         t0 = time.monotonic()
         try:
+            stream_fn = getattr(engine, "generate_stream", None)
+            if (stream_fn is not None and len(batch) == 1
+                    and batch[0].stream
+                    and self.config.stage_type != "diffusion"):
+                self._run_stream(batch[0], engine, t0)
+                return
             if self.config.stage_type == "diffusion":
                 outputs = self._run_diffusion_batch(batch, engine)
             else:
@@ -266,6 +281,35 @@ class OmniStage:
                     request_id=task.request_id, stage_id=self.stage_id,
                     error=f"{e}\n{tb}",
                 ))
+
+    def _run_stream(self, task: StageTask, engine, t0: float) -> None:
+        """Incremental emission for one request: per-step (LLM) or
+        per-chunk (code2wav) partial StageOutputs, then the final one.
+        Beyond-reference: the reference rejects HTTP streaming
+        (serving_chat.py:268-269)."""
+        sp = None
+        if self.config.stage_type == "llm":
+            sp = prepare_sampling_params(
+                self.config.default_sampling_params, task.sampling_params)
+        last = None
+        for out in engine.generate_stream(task.prompt, sp):
+            last = out
+            if not out.finished:
+                self.out_q.put(StageOutput(
+                    request_id=task.request_id, stage_id=self.stage_id,
+                    output=out, partial=True,
+                ))
+        m = StageRequestMetrics(
+            request_id=task.request_id, stage_id=self.stage_id,
+            arrival_ts=task.submitted_ts, finished_ts=time.monotonic(),
+            gen_time_s=time.monotonic() - t0,
+            num_output_tokens=getattr(last, "num_generated_tokens", 0)
+            if hasattr(last, "num_generated_tokens") else 0,
+        )
+        self.out_q.put(StageOutput(
+            request_id=task.request_id, stage_id=self.stage_id,
+            output=last, metrics=m,
+        ))
 
     def _run_llm_batch(self, batch: list[StageTask], engine=None):
         engine = engine if engine is not None else self.engine
