@@ -104,6 +104,81 @@ def main():
                               prompt_len, decode_steps, f"r{r}"))
     tps = statistics.median(vals)
 
+    extra = {}
+    # ---- prefill TTFT: fresh single request, time to first token
+    if os.environ.get("BENCH_TTFT", "1") == "1":
+        sp1 = SamplingParams(temperature=0.0, max_tokens=1, ignore_eos=True,
+                             detokenize=False)
+        ttfts = []
+        for r in range(reps + 1):  # first is the compile warm-up
+            core.add_request(Request(
+                request_id=f"ttft-{r}",
+                prompt_token_ids=[(3 * j + r) % 32000 for j in range(512)],
+                sampling_params=sp1.clone()))
+            t0 = time.perf_counter()
+            while core.has_unfinished():
+                for out in core.step():
+                    pass
+            ttfts.append((time.perf_counter() - t0) * 1000)
+        extra["prefill_ttft_ms_512"] = round(statistics.median(ttfts[1:]), 2)
+
+    # ---- DiT denoise step + VAE decode (BASELINE.md metric configs)
+    if os.environ.get("BENCH_DIFFUSION", "1") == "1":
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vllm_omni_tpu.config.diffusion import OmniDiffusionConfig
+        from vllm_omni_tpu.diffusion.models.qwen_image.pipeline import (
+            QwenImagePipeline,
+        )
+        from vllm_omni_tpu.diffusion.models.qwen_image.transformer import (
+            QwenImageTransformerConfig,
+        )
+        from vllm_omni_tpu.diffusion.models.qwen_image.vae import (
+            QwenImageVAEConfig,
+        )
+        from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
+
+        # 8L / 1536d (12 heads x 128) MMDiT at 512x512, fused batched CFG
+        tf = QwenImageTransformerConfig(
+            num_layers=8, attention_head_dim=128, num_attention_heads=12,
+            joint_attention_dim=1536, in_channels=64, out_channels=16,
+            axes_dims_rope=(16, 56, 56))
+        vae = QwenImageVAEConfig(base_dim=96, z_dim=16,
+                                 dim_mult=(1, 2, 4, 4), num_res_blocks=2,
+                                 temperal_downsample=(False, True, True))
+        od = OmniDiffusionConfig(model="bench", dtype="bfloat16")
+        pipe = QwenImagePipeline(od, transformer_config=tf, vae_config=vae,
+                                 load_weights=False)
+        rng = np.random.default_rng(0)
+        steps = int(os.environ.get("BENCH_DIT_STEPS", 6))
+        req = OmniDiffusionRequest(
+            request_id="b", prompt="bench",
+            prompt_embeds=rng.normal(size=(1, 64, 1536)).astype(np.float32),
+            negative_prompt_embeds=rng.normal(
+                size=(1, 64, 1536)).astype(np.float32),
+            height=512, width=512, num_inference_steps=steps, seed=0,
+            true_cfg_scale=4.0, output_type="latent")
+        lat, _ = pipe.forward(req)  # compile warm-up
+        req.latents = None
+        lat, m = pipe.forward(req)
+        extra["dit_step_ms_512"] = round(
+            m.denoise_latency / m.num_steps * 1000, 2)
+        # VAE decode timed separately on the final latents
+        from vllm_omni_tpu.diffusion.models.qwen_image.pipeline import (
+            unpack_latents,
+        )
+
+        z = unpack_latents(jnp.asarray(lat), 32, 32).astype(jnp.float32)
+        jax.block_until_ready(pipe._decode(pipe.params["vae"], z))
+        t0 = time.perf_counter()
+        jax.block_until_ready(pipe._decode(pipe.params["vae"], z))
+        vae_ms = (time.perf_counter() - t0) * 1000
+        extra["vae_decode_ms_512"] = round(vae_ms, 2)
+        extra["image_per_sec_512"] = round(
+            1000.0 / (m.denoise_latency * 1000 + vae_ms), 3)
+
     baseline = None
     if os.path.isfile("bench_baseline.json"):
         with open("bench_baseline.json") as f:
@@ -115,6 +190,7 @@ def main():
         "unit": "tokens/s",
         "vs_baseline": round(vs, 3),
         "reps": [round(v, 1) for v in vals],
+        **extra,
     }))
 
 

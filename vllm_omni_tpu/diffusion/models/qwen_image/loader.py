@@ -120,10 +120,86 @@ def load_qwen_image_transformer_weights(
 
 
 def load_qwen_image_vae_weights(model_dir: str, cfg, dtype) -> dict[str, Any]:
-    """VAE mapping lands with real-weight validation (gamma-named RMS norms
-    + nested up/down block indices); raises until then so callers fall back
-    to random init explicitly."""
-    raise NotImplementedError(
-        "QwenImage VAE diffusers-weight mapping pending real-checkpoint "
-        "validation; construct the pipeline with load_weights=False"
-    )
+    """diffusers AutoencoderKLQwenImage state dict -> our functional tree.
+
+    Name scheme (reference autoencoder_kl_qwenimage.py): encoder
+    `down_blocks` is a FLAT ModuleList interleaving residual blocks and
+    resamples (`:416-430`); decoder nests `up_blocks.{i}.resnets.{r}` +
+    `.upsamplers.0` (`:480-519,118-138`); RMS norms store `gamma` with
+    trailing broadcast dims (`:86-105`); resample convs sit at Sequential
+    index 1 behind a ZeroPad2d/Upsample (`:148-163`).
+    """
+    sub = os.path.join(model_dir, "vae")
+    t = _collect(sub if os.path.isdir(sub) else model_dir)
+
+    def conv(pfx):
+        return {"w": jnp.asarray(t[pfx + ".weight"], dtype),
+                "b": jnp.asarray(t[pfx + ".bias"], dtype)}
+
+    def gamma(name):
+        return jnp.asarray(np.asarray(t[name]).reshape(-1), dtype)
+
+    def res(pfx):
+        p = {"norm1": gamma(pfx + ".norm1.gamma"),
+             "conv1": conv(pfx + ".conv1"),
+             "norm2": gamma(pfx + ".norm2.gamma"),
+             "conv2": conv(pfx + ".conv2")}
+        if pfx + ".conv_shortcut.weight" in t:
+            p["shortcut"] = conv(pfx + ".conv_shortcut")
+        return p
+
+    def mid(pfx):
+        return {
+            "res0": res(pfx + ".resnets.0"),
+            "attn": {"norm": gamma(pfx + ".attentions.0.norm.gamma"),
+                     "qkv": conv(pfx + ".attentions.0.to_qkv"),
+                     "proj": conv(pfx + ".attentions.0.proj")},
+            "res1": res(pfx + ".resnets.1"),
+        }
+
+    n_stages = len(cfg.dim_mult)
+    enc_blocks = []
+    j = 0
+    for i in range(n_stages):
+        stage = {"res": []}
+        for _ in range(cfg.num_res_blocks):
+            stage["res"].append(res(f"encoder.down_blocks.{j}"))
+            j += 1
+        if i != n_stages - 1:
+            pfx = f"encoder.down_blocks.{j}"
+            j += 1
+            stage["down"] = conv(pfx + ".resample.1")
+            if pfx + ".time_conv.weight" in t:
+                stage["time_down"] = conv(pfx + ".time_conv")
+        enc_blocks.append(stage)
+    encoder = {
+        "conv_in": conv("encoder.conv_in"),
+        "blocks": enc_blocks,
+        "mid": mid("encoder.mid_block"),
+        "norm_out": gamma("encoder.norm_out.gamma"),
+        "conv_out": conv("encoder.conv_out"),
+    }
+    dec_blocks = []
+    for i in range(n_stages):
+        pfx = f"decoder.up_blocks.{i}"
+        stage = {"res": [res(f"{pfx}.resnets.{r}")
+                         for r in range(cfg.num_res_blocks + 1)]}
+        up = f"{pfx}.upsamplers.0"
+        if up + ".resample.1.weight" in t:
+            stage["up"] = conv(up + ".resample.1")
+            if up + ".time_conv.weight" in t:
+                stage["time_up"] = conv(up + ".time_conv")
+        dec_blocks.append(stage)
+    decoder = {
+        "conv_in": conv("decoder.conv_in"),
+        "mid": mid("decoder.mid_block"),
+        "blocks": dec_blocks,
+        "norm_out": gamma("decoder.norm_out.gamma"),
+        "conv_out": conv("decoder.conv_out"),
+    }
+    return {
+        "encoder": encoder,
+        "decoder": decoder,
+        "quant_conv": conv("quant_conv"),
+        "post_quant_conv": conv("post_quant_conv"),
+    }

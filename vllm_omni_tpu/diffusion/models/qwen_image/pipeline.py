@@ -85,8 +85,10 @@ class QwenImagePipeline:
     ):
         self.od_config = od_config
         self.dtype = od_config.dtype
-        tf_cfg = transformer_config or QwenImageTransformerConfig()
-        v_cfg = vae_config or QwenImageVAEConfig()
+        tf_cfg = transformer_config or self._subfolder_config(
+            od_config.model, "transformer", QwenImageTransformerConfig)
+        v_cfg = vae_config or self._subfolder_config(
+            od_config.model, "vae", QwenImageVAEConfig)
         self.transformer = QwenImageTransformer2DModel(tf_cfg, self.dtype)
         self.vae = AutoencoderKLQwenImage(v_cfg, jnp.float32)
         # spatial compression = one 2x downsample per non-final stage
@@ -113,6 +115,20 @@ class QwenImagePipeline:
         # DP batch placement hook (parallel_placement.py), identity when
         # data_parallel_size == 1
         self._dp_place = lambda x: x
+
+    @staticmethod
+    def _subfolder_config(model_dir: str, sub: str, cfg_cls):
+        """Read a diffusers component config.json from the checkpoint
+        (reference DiffusersPipelineLoader reads component subfolder
+        configs, model_loader/diffusers_loader.py:36-228)."""
+        import json
+        import os
+
+        p = os.path.join(model_dir or "", sub, "config.json")
+        if model_dir and os.path.isfile(p):
+            with open(p) as f:
+                return cfg_cls.from_hf(json.load(f))
+        return cfg_cls()
 
     def _load_vae_weights(self, path: str):
         from vllm_omni_tpu.diffusion.models.qwen_image.loader import (
