@@ -26,6 +26,10 @@ from vllm_omni_tpu.config.engine import EngineArgs
 @dataclass
 class StageRuntimeConfig:
     devices: str = ""  # "" = all visible; "0,1" = device indices
+    # "host:port" of a stage-host process (stages/remote.py) — the
+    # orchestrator builds a RemoteStage proxy instead of a local engine
+    # (multi-host placement; the reference's Ray backend role)
+    remote: str = ""
     max_batch_size: int = 8
     batch_timeout: float = 0.02
     # edge-keyed connector specs: {"0->1": {"type": "inproc", ...}}
@@ -88,6 +92,11 @@ def _parse_stage(d: dict[str, Any], model: str = "") -> StageConfig:
     if extra:
         cfg.diffusion_args.update(extra)
     return cfg
+
+
+def stage_config_from_dict(d: dict[str, Any], model: str = "") -> StageConfig:
+    """Public alias used by the stage-host CLI (stages/remote.py)."""
+    return _parse_stage(d, model)
 
 
 def load_stage_configs_from_yaml(path: str, model: str = "") -> list[StageConfig]:

@@ -64,9 +64,16 @@ class Omni:
                 stage_configs = load_stage_configs_from_model(model)
         self.stage_configs = stage_configs
         self.out_q: "queue.Queue[StageOutput]" = queue.Queue()
+
+        def make_stage(cfg):
+            if getattr(cfg.runtime, "remote", ""):
+                from vllm_omni_tpu.stages.remote import RemoteStage
+
+                return RemoteStage(cfg, self.out_q)
+            return OmniStage(cfg, self.out_q, engine_factory)
+
         self.stages: dict[int, OmniStage] = {
-            cfg.stage_id: OmniStage(cfg, self.out_q, engine_factory)
-            for cfg in stage_configs
+            cfg.stage_id: make_stage(cfg) for cfg in stage_configs
         }
         # downstream adjacency: src stage -> [consumer stage ids]
         self.consumers: dict[int, list[int]] = {}

@@ -1,0 +1,228 @@
+"""Remote (multi-host) stages: run a stage in another process/host.
+
+Parity role: the reference's Ray execution backend places stage workers
+on other hosts via placement groups + ray queues (reference
+distributed/ray_utils/utils.py:28-169, --worker-backend ray). TPU-first
+mapping: no Ray — a stage host is a plain process started with
+`python -m vllm_omni_tpu.stages.remote --config <json> --port N`
+(one per host, e.g. under a pod scheduler), and the orchestrator drives
+it through a length-prefixed socket protocol carrying the same
+StageTask/StageOutput payloads (connector serialization: jax arrays ->
+numpy over the wire). Large inter-stage payloads can additionally ride
+the TCP blob connector (connectors/tcp.py, the DCN/Mooncake stand-in);
+control stays on this channel.
+
+Orchestrator side: set `runtime.remote: "host:port"` on a stage config
+and Omni/AsyncOmni builds a `RemoteStage` proxy instead of a local
+engine — the rest of the DAG (input processors, forwarding, final
+output collection) is unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import socket
+import struct
+import threading
+import time
+from typing import Any, Optional
+
+from vllm_omni_tpu.config.stage import StageConfig
+from vllm_omni_tpu.connectors.serialization import deserialize, serialize
+from vllm_omni_tpu.logger import init_logger
+from vllm_omni_tpu.sampling_params import SamplingParams
+from vllm_omni_tpu.stages.omni_stage import OmniStage, StageOutput, StageTask
+from vllm_omni_tpu.utils.metrics import StageRequestMetrics
+
+logger = init_logger(__name__)
+
+
+def _send(sock: socket.socket, obj: Any) -> None:
+    payload = serialize(obj)
+    sock.sendall(struct.pack(">Q", len(payload)) + payload)
+
+
+def _recv(sock: socket.socket) -> Any:
+    hdr = b""
+    while len(hdr) < 8:
+        chunk = sock.recv(8 - len(hdr))
+        if not chunk:
+            raise ConnectionError("socket closed")
+        hdr += chunk
+    (n,) = struct.unpack(">Q", hdr)
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(min(1 << 20, n - len(buf)))
+        if not chunk:
+            raise ConnectionError("socket closed mid-message")
+        buf.extend(chunk)
+    return deserialize(bytes(buf))
+
+
+class RemoteStage(OmniStage):
+    """Orchestrator-side proxy with the OmniStage surface; the engine
+    lives in the stage-host process at `config.runtime.remote`."""
+
+    def init_stage_worker(self) -> None:
+        addr = getattr(self.config.runtime, "remote", "")
+        host, _, port = addr.rpartition(":")
+        try:
+            deadline = time.monotonic() + 120
+            while True:
+                try:
+                    self._sock = socket.create_connection(
+                        (host or "127.0.0.1", int(port)), timeout=5)
+                    break
+                except OSError:
+                    if time.monotonic() > deadline:
+                        raise
+                    time.sleep(0.2)
+            self._sock_lock = threading.Lock()
+            hello = _recv(self._sock)
+            if hello.get("type") != "ready":
+                raise RuntimeError(f"stage host not ready: {hello}")
+        except BaseException as e:
+            self.init_error = e
+            self.ready.set()
+            return
+        th = threading.Thread(target=self._reader, daemon=True,
+                              name=f"remote-stage-{self.stage_id}")
+        self._threads.append(th)
+        th.start()
+        self.ready.set()
+
+    def submit(self, task: StageTask) -> None:
+        sp = task.sampling_params
+        with self._sock_lock:
+            _send(self._sock, {
+                "type": "task",
+                "request_id": task.request_id,
+                "prompt": task.prompt,
+                "sampling_params": sp.__dict__ if sp is not None else None,
+                "diffusion_kwargs": task.diffusion_kwargs,
+                "stream": task.stream,
+            })
+
+    def _reader(self) -> None:
+        try:
+            while True:
+                msg = _recv(self._sock)
+                if msg.get("type") != "result":
+                    continue
+                m = None
+                if msg.get("metrics"):
+                    m = StageRequestMetrics(**msg["metrics"])
+                self.out_q.put(StageOutput(
+                    request_id=msg["request_id"], stage_id=self.stage_id,
+                    output=msg.get("output"), metrics=m,
+                    error=msg.get("error"),
+                    partial=bool(msg.get("partial")),
+                ))
+        except (ConnectionError, OSError):
+            if not self._closing:
+                logger.warning("remote stage %d connection lost",
+                               self.stage_id)
+
+    _closing = False
+
+    def shutdown(self) -> None:
+        self._closing = True
+        try:
+            with self._sock_lock:
+                _send(self._sock, {"type": "stop"})
+            self._sock.close()
+        except Exception:
+            pass
+
+
+def serve_stage(cfg: StageConfig, port: int, host: str = "0.0.0.0") -> None:
+    """Stage-host body: build the local stage, accept ONE orchestrator
+    connection, pump tasks in and results out until `stop`."""
+    out_q: "queue.Queue[StageOutput]" = queue.Queue()
+    stage = OmniStage(cfg, out_q)
+    stage.init_stage_worker()
+    stage.wait_ready()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(1)
+    logger.info("stage %d serving on %s:%d", cfg.stage_id, host,
+                srv.getsockname()[1])
+    print(f"STAGE_READY {srv.getsockname()[1]}", flush=True)
+    conn, peer = srv.accept()
+    logger.info("orchestrator connected from %s", peer)
+    send_lock = threading.Lock()
+    _send(conn, {"type": "ready", "stage_id": cfg.stage_id})
+
+    stop = threading.Event()
+
+    def pump_results() -> None:
+        while not stop.is_set():
+            try:
+                so = out_q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            m = None
+            if so.metrics is not None:
+                m = {k: getattr(so.metrics, k)
+                     for k in so.metrics.__dataclass_fields__}
+            with send_lock:
+                _send(conn, {
+                    "type": "result", "request_id": so.request_id,
+                    "output": so.output, "metrics": m,
+                    "error": so.error, "partial": so.partial,
+                })
+
+    pump = threading.Thread(target=pump_results, daemon=True)
+    pump.start()
+    try:
+        while True:
+            msg = _recv(conn)
+            if msg.get("type") == "stop":
+                break
+            if msg.get("type") != "task":
+                continue
+            sp = msg.get("sampling_params")
+            stage.submit(StageTask(
+                request_id=msg["request_id"], prompt=msg["prompt"],
+                sampling_params=SamplingParams(**sp) if sp else None,
+                diffusion_kwargs=msg.get("diffusion_kwargs"),
+                stream=bool(msg.get("stream")),
+            ))
+    except (ConnectionError, OSError):
+        pass
+    finally:
+        stop.set()
+        pump.join(timeout=5)
+        stage.shutdown()
+        conn.close()
+        srv.close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="vllm-omni-tpu stage host")
+    ap.add_argument("--config", required=True,
+                    help="path to a JSON-serialized StageConfig dict")
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--platform", default="",
+                    help="force a JAX platform (e.g. cpu) before init — "
+                    "ambient JAX_PLATFORMS can be re-pinned by device "
+                    "tunnels, so an env var alone is not reliable")
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    with open(args.config) as f:
+        d = json.load(f)
+    from vllm_omni_tpu.config.stage import stage_config_from_dict
+
+    serve_stage(stage_config_from_dict(d), args.port, args.host)
+
+
+if __name__ == "__main__":
+    main()
