@@ -18,11 +18,17 @@ from vllm_omni_tpu.connectors.serialization import deserialize, serialize
 DEFAULT_THRESHOLD = 64 * 1024  # reference default 64KB
 
 
+def _default_threshold() -> int:
+    import os
+
+    return int(os.environ.get("OMNI_TPU_SHM_THRESHOLD", DEFAULT_THRESHOLD))
+
+
 class SharedMemoryConnector(OmniConnectorBase):
     def __init__(self, config=None):
         super().__init__(config)
         self.threshold = int(
-            (config or {}).get("threshold_bytes", DEFAULT_THRESHOLD)
+            (config or {}).get("threshold_bytes", _default_threshold())
         )
         self._owned: dict[str, shared_memory.SharedMemory] = {}
 

@@ -29,6 +29,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tensor-parallel-size", type=int, default=1)
     s.add_argument("--log-stats", action="store_true")
     s.add_argument("--init-sleep-seconds", type=float, default=0.0)
+    # worker/placement knobs (reference --worker-backend
+    # {multi_process,ray}; here: in-process stage threads, or remote
+    # stage-host processes declared via runtime.remote in stage configs)
+    s.add_argument("--worker-backend", choices=("thread", "remote"),
+                   default="thread")
+    s.add_argument("--shm-threshold-bytes", type=int, default=None,
+                   help="inline-vs-block threshold for shm connectors")
+    # parallel sizes (AR stages; diffusion parallelism comes from the
+    # diffusion knobs below / stage configs)
+    s.add_argument("--data-parallel-size", type=int, default=1)
+    s.add_argument("--expert-parallel-size", type=int, default=1)
+    s.add_argument("--sequence-parallel-size", type=int, default=1)
     # diffusion knobs (reference cli/serve.py:73-188)
     s.add_argument("--cache-backend", default="")
     s.add_argument("--vae-use-slicing", action="store_true")
@@ -36,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--boundary-ratio", type=float, default=None)
     s.add_argument("--flow-shift", type=float, default=None)
     s.add_argument("--ulysses-degree", type=int, default=1)
+    s.add_argument("--ring-degree", type=int, default=1)
+    s.add_argument("--vae-parallel-size", type=int, default=0)
     s.add_argument("--num-inference-steps", type=int, default=50)
     return p
 
@@ -44,6 +58,10 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command != "serve":
         return 1
+    if args.shm_threshold_bytes is not None:
+        import os
+
+        os.environ["OMNI_TPU_SHM_THRESHOLD"] = str(args.shm_threshold_bytes)
 
     from vllm_omni_tpu.entrypoints.openai.api_server import run_server
     from vllm_omni_tpu.models.registry import is_diffusion_model_dir
@@ -64,7 +82,9 @@ def main(argv=None) -> int:
             dtype=args.dtype,
             cache_config=DiffusionCacheConfig(cache_backend=args.cache_backend),
             parallel_config=DiffusionParallelConfig(
-                ulysses_degree=args.ulysses_degree),
+                ulysses_degree=args.ulysses_degree,
+                ring_degree=args.ring_degree,
+                vae_parallel_size=args.vae_parallel_size),
             vae_use_slicing=args.vae_use_slicing,
             vae_use_tiling=args.vae_use_tiling,
             boundary_ratio=args.boundary_ratio,
