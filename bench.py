@@ -85,6 +85,7 @@ def main():
         model="bench",
         hf_config=cfg,
         dtype="bfloat16",
+        quantization=os.environ.get("BENCH_QUANT") or None,
         max_num_seqs=batch,
         max_num_batched_tokens=4096,
         block_size=16,
@@ -152,32 +153,52 @@ def main():
         pipe = QwenImagePipeline(od, transformer_config=tf, vae_config=vae,
                                  load_weights=False)
         rng = np.random.default_rng(0)
-        steps = int(os.environ.get("BENCH_DIT_STEPS", 6))
-        req = OmniDiffusionRequest(
-            request_id="b", prompt="bench",
-            prompt_embeds=rng.normal(size=(1, 64, 1536)).astype(np.float32),
-            negative_prompt_embeds=rng.normal(
-                size=(1, 64, 1536)).astype(np.float32),
-            height=512, width=512, num_inference_steps=steps, seed=0,
-            true_cfg_scale=4.0, output_type="latent")
-        lat, _ = pipe.forward(req)  # compile warm-up
-        req.latents = None
-        lat, m = pipe.forward(req)
-        extra["dit_step_ms_512"] = round(
-            m.denoise_latency / m.num_steps * 1000, 2)
+
+        def run_dit(steps):
+            req = OmniDiffusionRequest(
+                request_id="b", prompt="bench",
+                prompt_embeds=rng.normal(
+                    size=(1, 64, 1536)).astype(np.float32),
+                negative_prompt_embeds=rng.normal(
+                    size=(1, 64, 1536)).astype(np.float32),
+                height=512, width=512, num_inference_steps=steps, seed=0,
+                true_cfg_scale=4.0, output_type="latent")
+            t0 = time.perf_counter()
+            lat, _ = pipe.forward(req)
+            np.asarray(lat)  # force a real host sync (remote tunnels may
+            # not block on block_until_ready)
+            return time.perf_counter() - t0, lat
+
+        run_dit(2)
+        run_dit(2)  # compile + warm
+        t2 = min(run_dit(2)[0] for _ in range(reps))
+        t14, lat = 1e9, None
+        for _ in range(reps):
+            t, lt = run_dit(14)
+            if t < t14:
+                t14, lat = t, lt
+        # differencing cancels fixed dispatch/fetch overhead
+        extra["dit_step_ms_512"] = round((t14 - t2) / 12 * 1000, 2)
+        m_steps = (t14 - t2) / 12
         # VAE decode timed separately on the final latents
         from vllm_omni_tpu.diffusion.models.qwen_image.pipeline import (
             unpack_latents,
         )
 
         z = unpack_latents(jnp.asarray(lat), 32, 32).astype(jnp.float32)
-        jax.block_until_ready(pipe._decode(pipe.params["vae"], z))
-        t0 = time.perf_counter()
-        jax.block_until_ready(pipe._decode(pipe.params["vae"], z))
-        vae_ms = (time.perf_counter() - t0) * 1000
+
+        def run_vae():
+            t0 = time.perf_counter()
+            np.asarray(pipe._decode(pipe.params["vae"], z))
+            return time.perf_counter() - t0
+
+        run_vae()  # compile
+        vae_ms = min(run_vae() for _ in range(reps)) * 1000
         extra["vae_decode_ms_512"] = round(vae_ms, 2)
-        extra["image_per_sec_512"] = round(
-            1000.0 / (m.denoise_latency * 1000 + vae_ms), 3)
+        # 20-step image: denoise + decode (fixed per-image overhead
+        # excluded, consistent with the per-step differencing above)
+        extra["image_per_sec_512_20step"] = round(
+            1000.0 / (m_steps * 1000 * 20 + vae_ms), 3)
 
     baseline = None
     if os.path.isfile("bench_baseline.json"):

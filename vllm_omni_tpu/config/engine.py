@@ -26,6 +26,7 @@ class EngineArgs:
     engine_output_type: str = "text"
     hf_config_name: str = ""
     dtype: Any = "bfloat16"
+    quantization: Optional[str] = None  # weight-only: "int8"
     seed: int = 0
     max_model_len: Optional[int] = None
     # cache
@@ -74,6 +75,7 @@ class EngineArgs:
             model_stage=self.model_stage,
             hf_config_name=self.hf_config_name,
             dtype=self.dtype,
+            quantization=self.quantization,
             seed=self.seed,
             max_model_len=self.max_model_len,
             engine_output_type=self.engine_output_type,

@@ -59,6 +59,8 @@ class ModelConfig:
     dtype: Any = "bfloat16"
     seed: int = 0
     max_model_len: Optional[int] = None
+    # weight-only quantization of decoder projections ("int8" | None)
+    quantization: Optional[str] = None
     # Output routing for the stage hosting this model
     # ("text" | "latent" | "audio" | "image"); reference arg_utils.py:26-177.
     engine_output_type: str = "text"

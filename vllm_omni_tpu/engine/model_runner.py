@@ -62,6 +62,14 @@ class ModelRunner:
             self.params = self.model.load_weights(mc.model)
         else:
             self.params = self.model.init_params(jax.random.key(rng_seed))
+        if mc.quantization:
+            if mc.quantization != "int8":
+                raise ValueError(
+                    f"unsupported quantization {mc.quantization!r}")
+            from vllm_omni_tpu.ops.quant import quantize_params
+
+            self.params = quantize_params(self.params)
+            logger.info("weight-only int8 quantization applied")
         self.num_blocks = self._decide_num_blocks()
         spec = self.model.kv_spec
         if self.tp > 1 and spec.num_kv_heads % self.tp != 0:

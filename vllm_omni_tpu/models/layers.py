@@ -26,7 +26,13 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
 
 
 def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if isinstance(w, dict) and "q" in w:
+        # weight-only int8 (ops/quant.py): dequant fuses into the dot's
+        # operand pipeline, so only int8 weights stream from HBM
+        wd = (w["q"].astype(jnp.float32) * w["s"][None, :]).astype(x.dtype)
+        out = jnp.dot(x, wd, preferred_element_type=jnp.float32)
+    else:
+        out = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out.astype(x.dtype)

@@ -41,7 +41,7 @@ def _kernel(
     q_ref,  # [1, BQ, Dp] VMEM
     k_ref,  # [1, BK, Dp]
     v_ref,  # [1, BK, Dp]
-    mask_ref,  # [1, BK] bool VMEM, or None
+    mask_ref,  # [B, BK] bool VMEM (all batch rows of this key block), or None
     out_ref,  # [1, BQ, Dp]
     acc_ref,  # [BQ, Dp] f32 scratch
     m_ref,  # [BQ, 128] f32
@@ -51,10 +51,12 @@ def _kernel(
     block_q: int,
     block_k: int,
     causal: bool,
+    num_heads: int = 1,
 ):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
+    batch = pl.program_id(0) // num_heads if mask_ref is not None else 0
 
     @pl.when(ik == 0)
     def _init():
@@ -77,7 +79,7 @@ def _kernel(
             preferred_element_type=jnp.float32,
         ) * scale  # [BQ, BK]
         if mask_ref is not None:
-            s = jnp.where(mask_ref[0][None, :], s, NEG_INF)
+            s = jnp.where(mask_ref[batch][None, :], s, NEG_INF)
         if causal:
             qpos = (jax.lax.broadcasted_iota(jnp.int32,
                                              (block_q, block_k), 0)
@@ -172,15 +174,18 @@ def flash_attention(
     ]
     args = [qf, kf, vf]
     if need_mask:
+        # all batch rows of the key block: a (1, BK) block would violate
+        # the TPU (8, 128) sublane tiling when B > 1 — the kernel picks
+        # its row as program_id(0) // H
         in_specs.append(
-            pl.BlockSpec((1, block_k),
-                         lambda bh, iq, ik, H=H: (bh // H, ik)))
+            pl.BlockSpec((B, block_k), lambda bh, iq, ik: (0, ik)))
         args.append(mask_p)
 
     kernel = functools.partial(
         _kernel if need_mask else
         functools.partial(_wrap_nomask, _kernel),
         scale=scale, block_q=block_q, block_k=block_k, causal=causal,
+        num_heads=H,
     )
 
     out = pl.pallas_call(
@@ -204,3 +209,4 @@ def flash_attention(
 
 def _wrap_nomask(kernel, q_ref, k_ref, v_ref, out_ref, acc, m, l, **kw):
     kernel(q_ref, k_ref, v_ref, None, out_ref, acc, m, l, **kw)
+

@@ -1,0 +1,66 @@
+"""Weight-only int8 quantization for AR decode.
+
+Decode on TPU is weight-HBM-bandwidth bound (BASELINE.md: matmuls ~3.3 ms
+vs the 2.2 ms bf16 weight-read bound per step at 0.9B/batch 16). Storing
+the seven decoder projections as int8 + per-output-channel f32 scales
+halves the weight traffic; XLA fuses the dequant (convert * scale) into
+the dot's operand pipeline so only int8 ever leaves HBM.
+
+Parity role: the reference inherits weight quantization from vLLM
+(engine_args quantization=...); this is the TPU-native W8A16 equivalent.
+Activations stay bf16 (accuracy first; the MXU int8 path is the sage
+backend's job on the DiT side).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# the scanned decoder projection weights ([L, in, out] or [in, out])
+DEFAULT_QUANT_NAMES = frozenset({
+    "q_proj", "k_proj", "v_proj", "o_proj",
+    "gate_proj", "up_proj", "down_proj",
+})
+
+
+def quantize_weight(w: jax.Array) -> dict[str, jax.Array]:
+    """[..., in, out] -> {"q": int8, "s": f32 [..., out]} with symmetric
+    per-output-channel scales (absmax over the input dim)."""
+    wf = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2)
+    s = absmax / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(wf / s[..., None, :]), -127, 127)
+    return {"q": q.astype(jnp.int8), "s": s}
+
+
+def dequantize_weight(qw: dict[str, jax.Array], dtype) -> jax.Array:
+    return (qw["q"].astype(jnp.float32)
+            * qw["s"][..., None, :]).astype(dtype)
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, dict) and "q" in w and "s" in w
+
+
+def quantize_params(
+    params: dict[str, Any], names=DEFAULT_QUANT_NAMES
+) -> dict[str, Any]:
+    """Replace named projection weights in a decoder param tree with
+    quantized {"q", "s"} entries (embeddings/lm_head/norms untouched)."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if (k in names and not isinstance(v, dict)
+                    and getattr(v, "ndim", 0) >= 2):
+                out[k] = quantize_weight(v)
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(params)

@@ -41,8 +41,21 @@ def qwen_param_specs(params: dict[str, Any], axis: str = AXIS_MODEL) -> dict[str
     moe_row = {"experts_down"}
 
     def spec_for(path: str, arr) -> P:
-        name = path.split("/")[-1]
+        parts = path.split("/")
+        name = parts[-1]
         nd = arr.ndim
+        if name in ("q", "s") and len(parts) >= 2:
+            # weight-only quantized projection (ops/quant.py): "q" shards
+            # exactly like the weight it replaces; the per-out-channel
+            # scale "s" follows the OUT dim (sharded for column-parallel
+            # weights, replicated for row-parallel)
+            parent = parts[-2]
+            if name == "q":
+                name = parent
+            else:
+                if parent in col:
+                    return P(*([None] * (nd - 1)), axis)
+                return REPLICATED
         if name in moe_col:
             return P(None, AXIS_EXPERT, None, axis)
         if name in moe_row:
