@@ -56,7 +56,7 @@ def _run_once(core, Request, SamplingParams, batch, prompt_len,
 def main():
     # throughput mode: fused multi-step windows amortize per-dispatch
     # overhead; a shallow async pipeline keeps windows in flight
-    os.environ.setdefault("OMNI_TPU_PIPELINE_DEPTH", "4")
+    os.environ.setdefault("OMNI_TPU_PIPELINE_DEPTH", "8")
     os.environ.setdefault("OMNI_TPU_MULTI_STEP", "16")
     from vllm_omni_tpu.config.engine import EngineArgs
     from vllm_omni_tpu.core.request import Request

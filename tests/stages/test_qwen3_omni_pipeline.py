@@ -153,3 +153,47 @@ def test_qwen3_omni_three_stage_pipeline():
     # cropping semantics): strictly positive finite audio
     assert wav.size > 0
     assert np.isfinite(wav).all()
+
+
+def test_qwen3_omni_pipeline_streaming_audio_chunks():
+    """stream=True end to end: the code2wav stage streams waveform
+    chunks (Code2WavEngine.generate_stream) whose concatenation equals
+    the non-streamed waveform; the thinker streams per-token partials."""
+    import asyncio
+
+    from vllm_omni_tpu.stages.async_omni import AsyncOmni
+
+    prompt_ids = (
+        [IM_START, SYSTEM, 5, 6]
+        + [IM_START, USER, 10, 11, 12]
+        + [IM_START, ASSISTANT, 20]
+    )
+
+    async def run():
+        omni = AsyncOmni(stage_configs=_stage_cfgs())
+        try:
+            # force tiny codec chunks so streaming produces >1 chunk
+            omni.stages[2].engine.chunk_size = 2
+            omni.stages[2].engine.left_context = 1
+            partials, finals = [], []
+            async for out in omni.generate({"prompt_token_ids": prompt_ids},
+                                           stream=True):
+                (partials if out.partial else finals).append(out)
+            by_stage = {o.stage_id: o for o in finals}
+            assert not any(o.error for o in finals), [o.error for o in finals]
+            assert set(by_stage) == {0, 2}
+            audio_partials = [p for p in partials if p.stage_id == 2]
+            assert len(audio_partials) >= 1
+            chunks = [np.asarray(p.request_output.outputs[0]
+                                 .multimodal_output["waveform_chunk"])
+                      for p in audio_partials]
+            final_mm = by_stage[2].request_output.outputs[0].multimodal_output
+            chunks.append(np.asarray(final_mm["waveform_chunk"]))
+            full = np.asarray(final_mm["waveform"]).reshape(-1)
+            np.testing.assert_allclose(
+                np.concatenate([c.reshape(-1) for c in chunks]), full,
+                atol=1e-5)
+        finally:
+            omni.shutdown()
+
+    asyncio.run(run())

@@ -139,3 +139,40 @@ def test_speech_pipeline_end_to_end():
         assert wav.ndim == 1 and wav.size == 7 * 2 * 4
         assert np.isfinite(wav).all()
         assert (np.abs(wav) <= 1.0).all()
+
+
+def test_speech_pipeline_streaming():
+    """stream=True: per-token text partials flow from the thinker while
+    the talker/token2wav stages still deliver the full audio output."""
+    import asyncio
+
+    from vllm_omni_tpu.stages.async_omni import AsyncOmni
+
+    async def run():
+        omni = AsyncOmni(stage_configs=speech_stage_configs())
+        try:
+            partials, finals = [], []
+            async for out in omni.generate({
+                "prompt_token_ids": [11, 12, 13, 14],
+                "additional_information": {
+                    "tts_bos_id": 151860, "tts_eos_id": 151861,
+                    "tts_pad_id": 151859,
+                },
+            }, stream=True):
+                (partials if out.partial else finals).append(out)
+            by_stage = {o.stage_id: o for o in finals}
+            assert set(by_stage) == {0, 2}, [o.error for o in finals]
+            # thinker text streamed token by token before finishing
+            text_partials = [p for p in partials if p.stage_id == 0]
+            assert len(text_partials) >= 4
+            lens = [len(p.request_output.outputs[0].token_ids)
+                    for p in text_partials]
+            assert lens == sorted(lens)
+            # full audio still arrives from the (non-streaming) last stage
+            wav = np.asarray(by_stage[2].request_output.outputs[0]
+                             .multimodal_output["waveform"])
+            assert wav.size == 7 * 2 * 4 and np.isfinite(wav).all()
+        finally:
+            omni.shutdown()
+
+    asyncio.run(run())
