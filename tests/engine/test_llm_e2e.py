@@ -46,6 +46,26 @@ def make_llm(**kw):
     return LLM(engine_args=args, load_weights=False)
 
 
+def _unfused(lp, model):
+    """Split engine-fused qkv/gateup weights back for the oracle (also
+    proves the fused layout is the same math)."""
+    if "qkv_proj" not in lp:
+        return lp
+    lp = dict(lp)
+    qkv = lp.pop("qkv_proj")
+    s1 = model.Hq * model.D
+    s2 = s1 + model.Hkv * model.D
+    lp["q_proj"], lp["k_proj"], lp["v_proj"] = (
+        qkv[..., :s1], qkv[..., s1:s2], qkv[..., s2:])
+    b = lp.pop("qkv_bias", None)
+    if b is not None:
+        lp["q_bias"], lp["k_bias"], lp["v_bias"] = (
+            b[..., :s1], b[..., s1:s2], b[..., s2:])
+    lp["gate_proj"], lp["up_proj"] = jnp.split(
+        lp.pop("gateup_proj"), 2, axis=-1)
+    return lp
+
+
 def dense_greedy_continue(model, params, prompt_ids, num_new):
     """Dense full-recompute greedy decoding oracle."""
     ids = list(prompt_ids)
@@ -54,7 +74,7 @@ def dense_greedy_continue(model, params, prompt_ids, num_new):
         n = len(ids)
         h = params["embed_tokens"][jnp.asarray(ids)]
         pos = jnp.arange(n)
-        lp = params["layers"]
+        lp = _unfused(params["layers"], model)
         for li in range(model.L):
             p = {k: v[li] for k, v in lp.items()}
             res = h

@@ -60,7 +60,8 @@ def test_quantized_engine_close_to_fp32():
                         load_weights=False, pipeline_depth=0)
     # same init seed -> quantized params derive from the same weights
     lp = core_q.runner.params["layers"]
-    assert lp["q_proj"]["q"].dtype == jnp.int8
+    qname = "qkv_proj" if "qkv_proj" in lp else "q_proj"
+    assert lp[qname]["q"].dtype == jnp.int8
     assert "q" not in core_q.runner.params["embed_tokens"]
 
     def gen(core):

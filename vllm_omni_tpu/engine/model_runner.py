@@ -62,6 +62,15 @@ class ModelRunner:
             self.params = self.model.load_weights(mc.model)
         else:
             self.params = self.model.init_params(jax.random.key(rng_seed))
+        import os
+
+        if (pc.world_size == 1
+                and getattr(self.model, "supports_fused_projections", False)
+                and os.environ.get("OMNI_TPU_FUSE_PROJ", "1") == "1"):
+            # single-device decode is weight-bandwidth bound: QKV and
+            # gate/up fuse into single matmuls (disabled under TP — the
+            # fused columns would interleave across Megatron shards)
+            self.params = self.model.fuse_projections(self.params)
         if mc.quantization:
             if mc.quantization != "int8":
                 raise ValueError(

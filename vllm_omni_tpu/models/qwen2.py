@@ -119,6 +119,26 @@ class Qwen2ForCausalLM:
             tie_embeddings=self.tie_embeddings,
         )
 
+    supports_fused_projections = True  # subclasses with custom layer
+    # bodies that read q_proj/gate_proj directly must opt out
+
+    def fuse_projections(self, params: dict[str, Any]) -> dict[str, Any]:
+        """Fuse Q/K/V and gate/up into single matmuls (one weight stream
+        + one MXU launch instead of three/two; decode is weight-bandwidth
+        bound). Single-device only — Megatron TP column sharding would
+        interleave the fused columns across shards. Apply after loading,
+        before quantization."""
+        lp = dict(params["layers"])
+        lp["qkv_proj"] = jnp.concatenate(
+            [lp.pop("q_proj"), lp.pop("k_proj"), lp.pop("v_proj")], axis=-1)
+        if "q_bias" in lp:
+            lp["qkv_bias"] = jnp.concatenate(
+                [lp.pop("q_bias"), lp.pop("k_bias"), lp.pop("v_bias")],
+                axis=-1)
+        lp["gateup_proj"] = jnp.concatenate(
+            [lp.pop("gate_proj"), lp.pop("up_proj")], axis=-1)
+        return {**params, "layers": lp}
+
     # ------------------------------------------------------------ forward
     def embed_tokens(self, params, token_ids: jax.Array) -> jax.Array:
         return embed(token_ids, params["embed_tokens"])
@@ -160,9 +180,16 @@ class Qwen2ForCausalLM:
             p, li = xs
             res = h
             h_n = rms_norm(h, p["input_layernorm"], self.eps)
-            q = linear(h_n, p["q_proj"], p.get("q_bias"))
-            k = linear(h_n, p["k_proj"], p.get("k_bias"))
-            v = linear(h_n, p["v_proj"], p.get("v_bias"))
+            if "qkv_proj" in p:
+                qkv = linear(h_n, p["qkv_proj"], p.get("qkv_bias"))
+                q, k, v = jnp.split(
+                    qkv,
+                    [self.Hq * self.D, (self.Hq + self.Hkv) * self.D],
+                    axis=-1)
+            else:
+                q = linear(h_n, p["q_proj"], p.get("q_bias"))
+                k = linear(h_n, p["k_proj"], p.get("k_bias"))
+                v = linear(h_n, p["v_proj"], p.get("v_bias"))
             # head counts derive from the (possibly TP-sharded) arrays
             q = q.reshape(T, -1, self.D)
             k = k.reshape(T, -1, self.D)
@@ -194,8 +221,12 @@ class Qwen2ForCausalLM:
             h = res + psum_if(attn_out, tp_axis)
             res = h
             h_n = rms_norm(h, p["post_attention_layernorm"], self.eps)
-            gate = linear(h_n, p["gate_proj"])
-            up = linear(h_n, p["up_proj"])
+            if "gateup_proj" in p:
+                gate, up = jnp.split(
+                    linear(h_n, p["gateup_proj"]), 2, axis=-1)
+            else:
+                gate = linear(h_n, p["gate_proj"])
+                up = linear(h_n, p["up_proj"])
             mlp_out = linear(
                 jax.nn.silu(gate.astype(jnp.float32)).astype(h_n.dtype) * up,
                 p["down_proj"],

@@ -23,6 +23,8 @@ from vllm_omni_tpu.ops.rope import apply_rope
 
 
 class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
+    # custom layer body (expert ragged_dot) reads the unfused projections
+    supports_fused_projections = False
     qkv_bias = False
     qk_norm = True
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 DEFAULT_QUANT_NAMES = frozenset({
     "q_proj", "k_proj", "v_proj", "o_proj",
     "gate_proj", "up_proj", "down_proj",
+    "qkv_proj", "gateup_proj",  # fused variants (qwen2.fuse_projections)
 })
 
 
