@@ -86,6 +86,7 @@ def main():
         hf_config=cfg,
         dtype="bfloat16",
         quantization=os.environ.get("BENCH_QUANT") or None,
+        kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"),
         max_num_seqs=batch,
         max_num_batched_tokens=4096,
         block_size=16,

@@ -107,3 +107,30 @@ def test_quantized_tp_matches_single_device():
         return toks
 
     assert gen(single) == gen(tp)
+
+
+def test_fp8_kv_cache_close_to_full_precision():
+    """kv_cache_dtype=fp8: cache halves, decode stays close to exact."""
+    core_ref = EngineCore(_args().create_engine_config(),
+                          load_weights=False, pipeline_depth=0)
+    core_fp8 = EngineCore(
+        _args(kv_cache_dtype="fp8").create_engine_config(),
+        load_weights=False, pipeline_depth=0)
+    assert core_fp8.runner.kv_cache["k"].dtype == jnp.float8_e4m3fn
+
+    def gen(core):
+        core.add_request(Request(
+            request_id="r", prompt_token_ids=list(range(2, 40)),
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=8, ignore_eos=True,
+                detokenize=False)))
+        toks = []
+        while core.has_unfinished():
+            for o in core.step():
+                toks.extend(o.new_token_ids)
+        return toks
+
+    t_ref, t_fp8 = gen(core_ref), gen(core_fp8)
+    assert len(t_fp8) == 8
+    agree = sum(a == b for a, b in zip(t_ref, t_fp8))
+    assert agree >= 5, (t_ref, t_fp8)

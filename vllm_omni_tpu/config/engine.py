@@ -32,6 +32,8 @@ class EngineArgs:
     # cache
     block_size: int = 16
     num_kv_cache_blocks: Optional[int] = None
+    # "auto" = model dtype; "fp8" halves KV traffic/footprint (e4m3)
+    kv_cache_dtype: str = "auto"
     hbm_memory_utilization: float = 0.9
     enable_prefix_caching: bool = False
     # scheduler
@@ -84,7 +86,8 @@ class EngineArgs:
             block_size=self.block_size,
             num_blocks=self.num_kv_cache_blocks,
             hbm_memory_utilization=self.hbm_memory_utilization,
-            cache_dtype=self.dtype,
+            cache_dtype=(self.dtype if self.kv_cache_dtype == "auto"
+                         else self.kv_cache_dtype),
             enable_prefix_caching=self.enable_prefix_caching,
         )
         import os as _os

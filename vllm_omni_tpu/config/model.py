@@ -23,6 +23,9 @@ _DTYPE_MAP = {
     "fp32": jnp.float32,
     "float16": jnp.float16,
     "fp16": jnp.float16,
+    "fp8": jnp.float8_e4m3fn,
+    "fp8_e4m3": jnp.float8_e4m3fn,
+    "float8_e4m3fn": jnp.float8_e4m3fn,
     "auto": jnp.bfloat16,
 }
 

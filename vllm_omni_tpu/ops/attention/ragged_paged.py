@@ -108,6 +108,11 @@ def write_kv_auto(
             write_kv_pages,
         )
 
+        # narrow KV caches (fp8): convert outside the kernel, the page
+        # RMW itself is dtype-agnostic byte traffic
+        k_new = k_new.astype(k_cache.dtype)
+        v_new = v_new.astype(v_cache.dtype)
+
         return write_kv_pages(
             k_cache, v_cache, layer, k_new, v_new, slot_mapping)
     return write_kv_layer(
@@ -130,6 +135,9 @@ def commit_kv_all_layers(
         from vllm_omni_tpu.ops.attention.pallas_kv_write import (
             write_kv_pages_all_layers,
         )
+
+        k_all = k_all.astype(k_cache.dtype)
+        v_all = v_all.astype(v_cache.dtype)
 
         return write_kv_pages_all_layers(
             k_cache, v_cache, k_all, v_all, slot_mapping)
@@ -290,7 +298,9 @@ def _pallas_supported(q, k_cache) -> bool:
     head_dim < 128)."""
     D = q.shape[-1]
     B = k_cache.shape[2]
-    return D % 128 == 0 and B % 8 == 0
+    # narrow-dtype caches (fp8 KV) read through the XLA/gather paths,
+    # which upcast on load; the pallas kernel dots VMEM tiles directly
+    return D % 128 == 0 and B % 8 == 0 and k_cache.dtype == q.dtype
 
 
 def ragged_paged_attention(
