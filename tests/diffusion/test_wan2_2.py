@@ -286,3 +286,45 @@ def test_i2v_concat_conditioning():
     assert lat.shape == (1, 4, 2, 8, 8)
     assert np.isfinite(np.asarray(lat)).all()
     assert metrics.num_steps == 2
+
+
+def test_wan_sequence_parallel_matches_single(tiny_t2v=None):
+    """SP (GSPMD USP mapping): latents sharded over 'seq' must reproduce
+    the single-device video (reference test role:
+    test_ulysses_sequence_parallel.py:47-120)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    import numpy as np
+
+    from vllm_omni_tpu.config.diffusion import (
+        DiffusionParallelConfig,
+        OmniDiffusionConfig,
+    )
+    from vllm_omni_tpu.diffusion.engine import DiffusionEngine
+    from vllm_omni_tpu.diffusion.models.wan2_2.pipeline import WanPipeline
+    from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
+
+    def run(sp):
+        od = OmniDiffusionConfig(
+            model="tiny", dtype="float32",
+            parallel_config=DiffusionParallelConfig(ulysses_degree=sp))
+        pipe = WanPipeline(od, transformer_config=TF_CFG,
+                           vae_config=VAE_CFG, load_weights=False)
+        eng = DiffusionEngine(od, pipeline=pipe, load_weights=False)
+        rng = np.random.default_rng(0)
+        req = OmniDiffusionRequest(
+            request_id="w", prompt="x",
+            prompt_embeds=rng.normal(size=(1, 5, TF_CFG.text_dim)
+                                     ).astype(np.float32),
+            height=32, width=32, num_frames=5, num_inference_steps=2,
+            seed=3, guidance_scale=1.0, output_type="latent")
+        out = eng.step([req])[0]
+        assert out.error is None, out.error
+        return np.asarray(out.latents)
+
+    ref = run(sp=1)
+    got = run(sp=4)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)

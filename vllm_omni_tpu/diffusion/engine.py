@@ -75,7 +75,8 @@ class DiffusionEngine:
                 od_config.cache_config, self.pipeline
             )
         pc = od_config.parallel_config
-        if pc.data_parallel_size > 1 or pc.vae_parallel_size > 0:
+        if (pc.data_parallel_size > 1 or pc.vae_parallel_size > 0
+                or pc.sequence_parallel_size > 1):
             from vllm_omni_tpu.diffusion.parallel_placement import (
                 setup_parallel_placement,
             )

@@ -35,6 +35,7 @@ from vllm_omni_tpu.outputs import DiffusionMetrics
 
 
 class FluxLikePipeline:
+    sp_shard_axis = 1  # packed latent token axis (sequence parallel)
     ffn_kind = "swiglu"
     context_norm = True
     transformer_subdir = "transformer"
@@ -132,9 +133,10 @@ class FluxLikePipeline:
         self._denoise_step = self._build_denoise_step()
         self._decode = jax.jit(self.vae.decode)
         self.cache_backend = None
-        # DP batch placement hook (parallel_placement.py), identity when
-        # data_parallel_size == 1
+        # DP/SP placement hooks (parallel_placement.py), identity when
+        # the corresponding parallel size is 1
         self._dp_place = lambda x: x
+        self._sp_place = lambda x: x
 
     def _build_denoise_step(self):
         transformer = self.transformer
@@ -253,6 +255,7 @@ class FluxLikePipeline:
         txt = self._dp_place(txt)
         if cond_latents is not None:
             cond_latents = self._dp_place(cond_latents)
+        latents = self._sp_place(latents)
 
         t0 = time.perf_counter()
         cache = self.cache_backend

@@ -74,6 +74,8 @@ class QwenImagePipeline:
     """Offline t2i pipeline. Weights may be loaded from a diffusers dir or
     randomly initialized (tests)."""
 
+    sp_shard_axis = 1  # packed latent token axis (sequence parallel)
+
     def __init__(
         self,
         od_config: OmniDiffusionConfig,
@@ -112,9 +114,10 @@ class QwenImagePipeline:
         self._decode = jax.jit(self.vae.decode)
         # cache backend hook (TeaCache-style), set by the engine
         self.cache_backend = None
-        # DP batch placement hook (parallel_placement.py), identity when
-        # data_parallel_size == 1
+        # DP/SP placement hooks (parallel_placement.py), identity when
+        # the corresponding parallel size is 1
         self._dp_place = lambda x: x
+        self._sp_place = lambda x: x
 
     @staticmethod
     def _subfolder_config(model_dir: str, sub: str, cfg_cls):
@@ -277,6 +280,8 @@ class QwenImagePipeline:
         latents = self._dp_place(latents)
         txt = self._dp_place(txt)
         txt_mask = self._dp_place(txt_mask)
+        # SP: latent token axis shards over 'seq' (USP GSPMD mapping)
+        latents = self._sp_place(latents)
 
         # ---- denoise loop (host loop over jitted steps; TeaCache-style
         # skip decisions slot in here)

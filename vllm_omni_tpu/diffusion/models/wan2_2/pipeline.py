@@ -46,6 +46,8 @@ from vllm_omni_tpu.outputs import DiffusionMetrics
 class WanPipeline:
     """t2v (and ti2v when the model config enables expand_timesteps)."""
 
+    sp_shard_axis = 3  # latent height axis of [B, C, F, H, W]
+
     def __init__(
         self,
         od_config: OmniDiffusionConfig,
@@ -105,6 +107,9 @@ class WanPipeline:
         self._denoise_step = self._build_denoise_step()
         self._decode = jax.jit(self.vae.decode)
         self.cache_backend = None
+        # DP/SP placement hooks (parallel_placement.py)
+        self._dp_place = lambda x: x
+        self._sp_place = lambda x: x
 
     # ------------------------------------------------------------- steps
     def _build_denoise_step(self):
@@ -232,6 +237,12 @@ class WanPipeline:
                                   axis=0)
         else:
             txt = embeds
+
+        # DP/SP placement: batch over 'data', latent H axis over 'seq'
+        # (GSPMD partitions patchify + attention across the seq devices)
+        latents = self._dp_place(latents)
+        txt = self._dp_place(txt)
+        latents = self._sp_place(latents)
 
         t0 = time.perf_counter()
         for i in range(sched.num_steps):

@@ -47,6 +47,33 @@ class DataParallelPlacer:
             x, NamedSharding(self.mesh, PartitionSpec("data")))
 
 
+class SequenceParallelPlacer:
+    """Shards a spatial/temporal axis of the latents over a 'seq' mesh.
+
+    GSPMD mapping of the reference's USP (ulysses x ring) config
+    (reference data.py:38-64): annotating the latent sequence axis makes
+    XLA partition the whole jitted denoise step — patchify, attention
+    (with compiler-inserted collectives), unpatchify — across the seq
+    devices. The explicit all-to-all/ppermute strategies remain
+    available at op level (parallel/ulysses.py, parallel/ring.py)."""
+
+    def __init__(self, devices: list, array_axis: int) -> None:
+        self.mesh = Mesh(np.asarray(devices).reshape(len(devices)),
+                         ("seq",))
+        self.array_axis = array_axis
+        self.n = len(devices)
+
+    def __call__(self, x: Any) -> Any:
+        if x is None or not hasattr(x, "shape"):
+            return x
+        if self.array_axis >= x.ndim:
+            return x
+        spec = [None] * x.ndim
+        spec[self.array_axis] = "seq"
+        return jax.device_put(x, NamedSharding(self.mesh,
+                                               PartitionSpec(*spec)))
+
+
 class VaeDecoder:
     """Runs `decode_fn` on the VAE device slice."""
 
@@ -98,3 +125,17 @@ def setup_parallel_placement(pipeline, od_config) -> None:
         else:
             pipeline._dp_place = DataParallelPlacer(devices[:dp])
             logger.info("diffusion DP: batch sharded over %d devices", dp)
+    sp = pc.sequence_parallel_size
+    if sp > 1:
+        avail = len(devices) - max(n_vae, 0)
+        axis = getattr(pipeline, "sp_shard_axis", None)
+        if sp > avail or axis is None:
+            logger.warning(
+                "sequence_parallel_size %d: %s — disabled", sp,
+                "no sp_shard_axis on this pipeline" if axis is None
+                else f"exceeds {avail} available devices")
+        else:
+            pipeline._sp_place = SequenceParallelPlacer(
+                devices[:sp], array_axis=axis)
+            logger.info("diffusion SP: latent axis %d sharded over %d "
+                        "devices", axis, sp)
