@@ -220,3 +220,57 @@ def test_e2e_llm_stage_streaming():
             omni.shutdown()
 
     asyncio.run(run())
+
+
+def test_client_disconnect_aborts_generation():
+    """Breaking out of a streaming generate (client disconnect) stops the
+    stage engine instead of burning the rest of max_tokens."""
+    import time
+
+    from vllm_omni_tpu.config.engine import EngineArgs
+    from vllm_omni_tpu.config.stage import StageConfig
+    from vllm_omni_tpu.stages.async_omni import AsyncOmni
+
+    tiny = {
+        "architectures": ["Qwen2ForCausalLM"], "hidden_size": 64,
+        "num_hidden_layers": 2, "num_attention_heads": 2,
+        "num_key_value_heads": 2, "vocab_size": 128,
+        "max_position_embeddings": 2048, "intermediate_size": 128,
+        "eos_token_id": 127,
+    }
+    cfg = StageConfig(
+        stage_id=0, stage_type="llm",
+        engine_args=EngineArgs(
+            model="tiny", hf_config=tiny, dtype="float32",
+            max_num_seqs=2, max_num_batched_tokens=64, block_size=8,
+            num_kv_cache_blocks=128, load_format="random",
+            max_model_len=2048),
+        final_output=True, final_output_type="text",
+        default_sampling_params={
+            "temperature": 0.0, "max_tokens": 1000, "ignore_eos": True,
+            "detokenize": False},
+    )
+
+    async def run():
+        omni = AsyncOmni(stage_configs=[cfg])
+        try:
+            agen = omni.generate({"prompt_token_ids": [3, 4, 5]},
+                                 stream=True)
+            seen = 0
+            async for out in agen:
+                seen += 1
+                if seen >= 3:
+                    break  # simulate client disconnect
+            await agen.aclose()
+            stage = omni.stages[0]
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline:
+                if not stage.engine.core.has_unfinished():
+                    break
+                await asyncio.sleep(0.1)
+            assert not stage.engine.core.has_unfinished(), (
+                "engine still generating after client went away")
+        finally:
+            omni.shutdown()
+
+    asyncio.run(run())

@@ -249,8 +249,19 @@ class LLM:
                     continue
                 yield out
                 done = done or out.finished
-        if not done:
+        if not done and rid in self._active:
             raise RuntimeError(f"request {rid} never finished")
+
+    def abort_request(self, request_id: str) -> None:
+        """Stop generating for a request (client went away)."""
+        self.core.abort_request(request_id)
+        self._active.pop(request_id, None)
+        if not self._active:
+            # nothing else live: drain the async pipeline's in-flight
+            # steps so the engine returns to idle (dispatched device work
+            # completes; its outputs are dropped)
+            while self.core.has_unfinished():
+                self.core.step()
 
     def run_to_completion(self, req_ids: set[str]) -> dict[str, RequestOutput]:
         results: dict[str, RequestOutput] = {}

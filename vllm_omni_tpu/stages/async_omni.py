@@ -123,15 +123,24 @@ class AsyncOmni(Omni):
             StageTask(request_id, prompt, st.sps.get(first_stage),
                       stream=stream and first_stage in final_ids)
         )
+        completed = False
         try:
             while True:
                 item = await st.queue.get()
                 if item is None:
+                    completed = True
                     break
                 if isinstance(item, BaseException):
+                    completed = True
                     raise item
                 yield item
         finally:
+            if not completed:
+                # consumer went away mid-request (HTTP disconnect /
+                # generator close): stop the stages from burning cycles
+                for stage in self.stages.values():
+                    if hasattr(stage, "abort"):
+                        stage.abort(request_id)
             self.metrics.on_request_finish(request_id, 0)
             with self._lock:
                 self._active.pop(request_id, None)
@@ -139,6 +148,9 @@ class AsyncOmni(Omni):
     async def abort(self, request_id: str) -> None:
         with self._lock:
             st = self._active.pop(request_id, None)
+        for stage in self.stages.values():
+            if hasattr(stage, "abort"):
+                stage.abort(request_id)
         if st is not None:
             st.push(None)
 

@@ -103,6 +103,8 @@ class OmniStage:
         self.engines: list = []
         self._init_lock = threading.Lock()
         self._ready_count = 0
+        # request ids whose client went away: streaming loops stop early
+        self._aborted: set[str] = set()
 
     @property
     def _thread(self):  # back-compat alias (single-replica callers)
@@ -294,6 +296,12 @@ class OmniStage:
         last = None
         for out in engine.generate_stream(task.prompt, sp):
             last = out
+            if task.request_id in self._aborted:
+                self._aborted.discard(task.request_id)
+                abort_fn = getattr(engine, "abort_request", None)
+                if abort_fn is not None and hasattr(out, "request_id"):
+                    abort_fn(out.request_id)
+                break
             if not out.finished:
                 self.out_q.put(StageOutput(
                     request_id=task.request_id, stage_id=self.stage_id,
@@ -340,6 +348,12 @@ class OmniStage:
     # --------------------------------------------------------------- API
     def submit(self, task: StageTask) -> None:
         self.in_q.put(task)
+
+    def abort(self, request_id: str) -> None:
+        """Best-effort cancel: streaming loops stop at the next step and
+        release the engine (reference abort surface: EngineClient.abort,
+        async_omni.py:1105-1237)."""
+        self._aborted.add(request_id)
 
     def wait_ready(self, timeout: float = 300.0) -> None:
         if not self.ready.wait(timeout):
