@@ -89,9 +89,10 @@ def main():
         kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"),
         max_num_seqs=batch,
         max_num_batched_tokens=4096,
-        block_size=16,
+        block_size=int(os.environ.get("BENCH_BLOCK", 16)),
         num_kv_cache_blocks=(
-            batch * (prompt_len + decode_steps + 64) // 16 + 16),
+            batch * (prompt_len + decode_steps + 64)
+            // int(os.environ.get("BENCH_BLOCK", 16)) + 16),
     )
     core = EngineCore(args.create_engine_config(), load_weights=False)
 

@@ -1,0 +1,94 @@
+"""Decode-shaped Pallas paged attention vs the gather reference
+(interpret mode on CPU; exact per-token semantics parity with
+ragged_paged_attention_gather incl. the deferred-write self column)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vllm_omni_tpu.ops.attention.pallas_decode import decode_paged_attention
+from vllm_omni_tpu.ops.attention.ragged_paged import (
+    ragged_paged_attention_gather,
+)
+
+
+def _setup(seed, T, S, Hq, Hkv, D, B, MAXB, max_pos):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(T, Hq, D)).astype(np.float32))
+    N = S * MAXB + 1
+    k_cache = jnp.asarray(
+        rng.normal(size=(Hkv, N, B, D)).astype(np.float32))
+    v_cache = jnp.asarray(
+        rng.normal(size=(Hkv, N, B, D)).astype(np.float32))
+    # distinct random pages per row
+    tables = rng.permutation(np.arange(1, N))[: S * MAXB].reshape(S, MAXB)
+    seq_lens = rng.integers(1, max_pos, S)
+    return q, k_cache, v_cache, jnp.asarray(tables, jnp.int32), jnp.asarray(
+        seq_lens, jnp.int32), rng
+
+
+def _check(has_self, T=6, S=6, Hq=4, Hkv=2, D=64, B=8, MAXB=5,
+           sliding_window=0, with_padding=True, seed=0):
+    q, kc, vc, tables, seq_lens, rng = _setup(
+        seed, T, S, Hq, Hkv, D, B, MAXB, B * MAXB)
+    rows = np.arange(T) % S
+    if with_padding:
+        rows[-1] = S  # padded token
+    positions = np.asarray([int(seq_lens[r % S]) - 1 if r < S else 0
+                            for r in rows], np.int32)
+    token_rows = jnp.asarray(rows, jnp.int32)
+    positions = jnp.asarray(positions)
+    k_self = v_self = None
+    if has_self:
+        k_self = jnp.asarray(
+            rng.normal(size=(T, Hkv, D)).astype(np.float32))
+        v_self = jnp.asarray(
+            rng.normal(size=(T, Hkv, D)).astype(np.float32))
+    ref = ragged_paged_attention_gather(
+        q, kc, vc, None, None, seq_lens, tables, positions, token_rows,
+        scale=D**-0.5, sliding_window=sliding_window,
+        k_self=k_self, v_self=v_self)
+    got = decode_paged_attention(
+        q, kc, vc, seq_lens, tables, positions, token_rows,
+        scale=D**-0.5, k_self=k_self, v_self=v_self,
+        sliding_window=sliding_window, has_self=has_self, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_decode_with_self_column():
+    _check(has_self=True)
+
+
+def test_decode_without_self_column():
+    _check(has_self=False, with_padding=False, seed=1)
+
+
+def test_decode_sliding_window():
+    _check(has_self=True, sliding_window=9, seed=2)
+
+
+def test_decode_many_pages_ring_wraparound():
+    # > RING pages per row exercises the semaphore ring reuse
+    _check(has_self=True, T=4, S=4, MAXB=12, B=8, seed=3)
+
+
+def test_decode_first_token_empty_cache():
+    """position 0 with deferred write: only the self column attends."""
+    T, S, Hq, Hkv, D, B, MAXB = 2, 2, 4, 2, 64, 8, 2
+    q, kc, vc, tables, seq_lens, rng = _setup(4, T, S, Hq, Hkv, D, B,
+                                              MAXB, B * MAXB)
+    seq_lens = jnp.asarray([1, 1], jnp.int32)
+    positions = jnp.asarray([0, 0], jnp.int32)
+    token_rows = jnp.asarray([0, 1], jnp.int32)
+    k_self = jnp.asarray(rng.normal(size=(T, Hkv, D)).astype(np.float32))
+    v_self = jnp.asarray(rng.normal(size=(T, Hkv, D)).astype(np.float32))
+    got = decode_paged_attention(
+        q, kc, vc, seq_lens, tables, positions, token_rows,
+        scale=D**-0.5, k_self=k_self, v_self=v_self, has_self=True,
+        interpret=True)
+    # softmax over one column == v_self
+    expect = np.repeat(np.asarray(v_self), Hq // Hkv, axis=1)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=2e-5)

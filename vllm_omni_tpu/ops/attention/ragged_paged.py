@@ -243,6 +243,11 @@ def ragged_paged_attention_gather(
     G = Hq // Hkv
     L = MAXB * B
 
+    import os as _os
+    if _os.environ.get("OMNI_TPU_ATTN_ABLATE") == "1":
+        # perf-ceiling ablation ONLY (wrong numerics): skip the KV read
+        return (q * 0.01).astype(q.dtype)
+
     rows = jnp.clip(token_rows, 0, S - 1)
     tables = block_tables[rows]  # [T, MAXB]
     # gather each token's pages: [Hkv, T, MAXB, B, D] -> [T, Hkv, L, D]
@@ -321,10 +326,36 @@ def ragged_paged_attention(
     v_self: Optional[jax.Array] = None,
 ):
     """Backend-dispatching entry point. k_self/v_self (deferred-write
-    decode) force the gather path, the only one with a self column."""
+    decode) route to the decode-shaped paths (pallas page streaming on
+    TPU, gather otherwise)."""
+    import os
+
     from vllm_omni_tpu import envs
 
+    def _decode_pallas_ok():
+        D = q.shape[-1]
+        B = k_cache.shape[2]
+        MAXB = block_tables.shape[1]
+        return (
+            envs.is_tpu_platform()
+            and os.environ.get("OMNI_TPU_DECODE_ATTN", "pallas") == "pallas"
+            and D % 128 == 0 and B % 8 == 0
+            and k_cache.dtype == q.dtype
+            and MAXB * B <= 2048  # VMEM page-buffer budget
+            and logit_cap == 0.0
+        )
+
     if k_self is not None:
+        if _decode_pallas_ok():
+            from vllm_omni_tpu.ops.attention.pallas_decode import (
+                decode_paged_attention,
+            )
+
+            return decode_paged_attention(
+                q, k_cache, v_cache, seq_lens, block_tables, positions,
+                token_rows, scale=scale, k_self=k_self, v_self=v_self,
+                sliding_window=sliding_window, has_self=True,
+            )
         return ragged_paged_attention_gather(
             q, k_cache, v_cache, q_starts, q_lens, seq_lens, block_tables,
             positions, token_rows, scale=scale, logit_cap=logit_cap,
