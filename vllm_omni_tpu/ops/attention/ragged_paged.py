@@ -341,7 +341,7 @@ def ragged_paged_attention(
             and os.environ.get("OMNI_TPU_DECODE_ATTN", "pallas") == "pallas"
             and D % 128 == 0 and B % 8 == 0
             and k_cache.dtype == q.dtype
-            and MAXB * B <= 2048  # VMEM page-buffer budget
+            and MAXB * B <= 1024  # VMEM budget (2 token slots x K/V)
             and logit_cap == 0.0
         )
 
