@@ -108,7 +108,7 @@ def test_diffusion_dp_and_vae_parallel_match_single():
         QwenImageVAEConfig,
     )
     from vllm_omni_tpu.diffusion.parallel_placement import (
-        DataParallelPlacer,
+        DiffusionPlacer,
         VaeDecoder,
     )
     from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
@@ -144,10 +144,29 @@ def test_diffusion_dp_and_vae_parallel_match_single():
 
     ref = run(make_engine(dp=1, vae_par=0))
     par_engine = make_engine(dp=2, vae_par=1)
-    assert isinstance(par_engine.pipeline._dp_place, DataParallelPlacer)
+    assert isinstance(getattr(par_engine.pipeline._dp_place, "__self__",
+                              None), DiffusionPlacer)
     assert isinstance(par_engine.pipeline._decode, VaeDecoder)
     got = run(par_engine)
     np.testing.assert_allclose(got.astype(np.float32),
                                ref.astype(np.float32), atol=1)
     # uint8 images: allow 1-count rounding wobble from resharded reductions
     assert (got != ref).mean() < 0.02
+
+    # DP x SP composed on one mesh (review finding: independent meshes
+    # crashed jit with mixed device sets); vae_parallel_size=2 exercises
+    # the sharded-VAE path with replicated params on the same mesh
+    def make_engine_sp(dp, sp, vae_par):
+        od = OmniDiffusionConfig(
+            model="tiny", dtype="float32",
+            parallel_config=DiffusionParallelConfig(
+                data_parallel_size=dp, ulysses_degree=sp,
+                vae_parallel_size=vae_par))
+        pipe = QwenImagePipeline(od, transformer_config=tf, vae_config=vae,
+                                 load_weights=False)
+        return DiffusionEngine(od, pipeline=pipe, load_weights=False)
+
+    got2 = run(make_engine_sp(dp=2, sp=2, vae_par=2))
+    np.testing.assert_allclose(got2.astype(np.float32),
+                               ref.astype(np.float32), atol=1)
+    assert (got2 != ref).mean() < 0.02

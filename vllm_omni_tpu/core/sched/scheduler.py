@@ -220,6 +220,14 @@ class Scheduler:
                     and req.num_prompt_tokens - 1 >= self._cp_threshold):
                 cp_n = ((req.num_prompt_tokens - 1) // self._cp_align
                         ) * self._cp_align
+                # bucket to align * 2^k: each distinct cp_n jit-compiles
+                # a ring-prefill variant, so unbounded lengths would
+                # compile per request (remainder goes the chunked path)
+                if cp_n >= self._cp_align:
+                    b = self._cp_align
+                    while b * 2 <= cp_n:
+                        b *= 2
+                    cp_n = b
                 if cp_n >= self._cp_align:
                     if self.kv.allocate(req.request_id, cp_n) is None:
                         break  # memory pressure: retry next schedule()

@@ -172,8 +172,11 @@ class QwenImageTransformer2DModel:
             temb = temb + params["addition_t_embedding"][
                 jnp.asarray(additional_t_cond, jnp.int32)]
         temb_act = jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype)
-        # zero_cond_t: condition tokens (every segment after the first)
-        # are modulated with the t=0 embedding (reference :742-800)
+        # zero_cond_t: every segment after the FIRST is modulated with
+        # the t=0 embedding — including the extra generated layer frames
+        # in layered mode; this mirrors the reference exactly
+        # (qwen_image_transformer.py:750-752 builds the condition
+        # indicator as [0]*prod(sample[0]) + [1]*rest)
         temb0_act = None
         n_first = Nimg
         if c.zero_cond_t and n_seg > 1:

@@ -64,6 +64,9 @@ class LLM:
         self._counter = Counter()
         # request_id -> (Request, detok, stream state)
         self._active: dict[str, tuple[Request, IncrementalDetokenizer]] = {}
+        # finished outputs consumed by a concurrent generate_stream loop,
+        # awaiting their own caller
+        self._orphaned: dict[str, "RequestOutput"] = {}
 
     # --------------------------------------------------------------- API
     def generate(
@@ -246,6 +249,10 @@ class LLM:
         while not done and self.core.has_unfinished():
             for out in self.step():
                 if out.request_id != rid:
+                    if out.finished:
+                        # another in-flight request completed during this
+                        # stream: park it for its run_to_completion caller
+                        self._orphaned[out.request_id] = out
                     continue
                 yield out
                 done = done or out.finished
@@ -266,6 +273,10 @@ class LLM:
     def run_to_completion(self, req_ids: set[str]) -> dict[str, RequestOutput]:
         results: dict[str, RequestOutput] = {}
         pending = set(req_ids)
+        for rid in list(pending):
+            if rid in self._orphaned:
+                results[rid] = self._orphaned.pop(rid)
+                pending.discard(rid)
         while pending and self.core.has_unfinished():
             for out in self.step():
                 if out.finished and out.request_id in pending:

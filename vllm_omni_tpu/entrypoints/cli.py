@@ -101,10 +101,24 @@ def main(argv=None) -> int:
     from vllm_omni_tpu.engine.detokenizer import maybe_load_tokenizer
     from vllm_omni_tpu.stages.async_omni import AsyncOmni
 
+    if args.worker_backend == "remote" and not args.stage_configs_path:
+        raise SystemExit(
+            "--worker-backend remote requires --stage-configs-path with "
+            "runtime.remote entries (see docs/disaggregation.md)")
+    overrides = {
+        "dtype": args.dtype,
+        "max_num_seqs": args.max_num_seqs,
+        "max_num_batched_tokens": args.max_num_batched_tokens,
+        "tensor_parallel_size": args.tensor_parallel_size,
+        "data_parallel_size": args.data_parallel_size,
+        "expert_parallel_size": args.expert_parallel_size,
+        "sequence_parallel_size": args.sequence_parallel_size,
+    }
     omni = AsyncOmni(
         model=args.model,
         stage_configs_path=args.stage_configs_path,
         log_stats=args.log_stats,
+        engine_overrides=overrides,
     )
     tokenizer = maybe_load_tokenizer(args.model)
     run_server(

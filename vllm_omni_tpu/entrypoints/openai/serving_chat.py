@@ -84,6 +84,11 @@ def parse_chat_content(
                 if use_aiv:
                     wav = _extract_video_audio(part)
                     mm.setdefault("audio", []).append(wav)
+                    # record WHICH audio entry belongs to this video so
+                    # downstream pairing survives standalone audio parts
+                    # appearing earlier in the message
+                    mm.setdefault("video_audio_indices", []).append(
+                        len(mm["audio"]) - 1)
                     text_parts.append(
                         "<|vision_bos|><|audio_bos|><|VIDEO|>"
                         "<|audio_eos|><|vision_eos|>")
@@ -317,7 +322,9 @@ class OmniOpenAIServingChat:
                 mmout = comp.multimodal_output or {}
                 wav_chunk = mmout.get("waveform_chunk")
                 if wav_chunk is None and not out.partial:
-                    wav_chunk = mmout.get("waveform") or mmout.get("audio")
+                    wav_chunk = mmout.get("waveform")
+                    if wav_chunk is None:
+                        wav_chunk = mmout.get("audio")
                 if wav_chunk is not None:
                     from vllm_omni_tpu.entrypoints.audio_utils import (
                         waveform_to_pcm_bytes,

@@ -203,7 +203,19 @@ class Qwen2_5OmniThinkerForConditionalGeneration:
                                 counts(image_feats))
         if use_aiv and video_feats:
             # i-th <|VIDEO|> becomes the chunk-interleaved video+audio
-            # run (audio item i pairs with video item i)
+            # run; videos pair with their OWN extracted audio tracks
+            # (video_audio_indices from the chat parser), so standalone
+            # input_audio parts earlier in the message cannot shift the
+            # pairing
+            vai = multi_modal_data.get("video_audio_indices")
+            if vai is None:
+                vai = list(range(len(video_feats)))
+            standalone = [i for i in range(len(audio_feats))
+                          if i not in set(vai)]
+            ids_list = maybe_expand(
+                ids_list, tk.audio_token_id,
+                [int(np.asarray(audio_feats[i]).shape[0])
+                 for i in standalone])
             spg = multi_modal_data.get("second_per_grids") or [1.0] * len(
                 video_grids)
             if ids_list.count(tk.video_token_id) == len(video_feats):
@@ -213,7 +225,8 @@ class Qwen2_5OmniThinkerForConditionalGeneration:
                     if t == tk.video_token_id and vi < len(video_feats):
                         out.extend(build_video_audio_interleave(
                             video_grids[vi],
-                            int(np.asarray(audio_feats[vi]).shape[0]),
+                            int(np.asarray(
+                                audio_feats[vai[vi]]).shape[0]),
                             tk.video_token_id, tk.audio_token_id,
                             second_per_grid=float(spg[vi]),
                             merge_size=self.vision_cfg.spatial_merge_size,

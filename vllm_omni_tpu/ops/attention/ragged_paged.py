@@ -130,7 +130,11 @@ def commit_kv_all_layers(
     from vllm_omni_tpu import envs
 
     B, D = k_cache.shape[3], k_cache.shape[4]
-    if (envs.is_tpu_platform() and D % 128 == 0 and B % 8 == 0
+    T = k_all.shape[1]
+    # T bound: the all-layer kernel stages k_all/v_all [L, T, Hkv, D]
+    # in VMEM — fine for decode windows, not for CP-prefill-sized
+    # commits (thousands of tokens), which keep the XLA scatter
+    if (envs.is_tpu_platform() and T <= 64 and D % 128 == 0 and B % 8 == 0
             and envs.kv_write_backend() != "xla"):
         from vllm_omni_tpu.ops.attention.pallas_kv_write import (
             write_kv_pages_all_layers,

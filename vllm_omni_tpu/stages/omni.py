@@ -55,6 +55,7 @@ class Omni:
         log_stats: bool = False,
         stats_path_prefix: str = "omni",
         init_timeout: float = 600.0,
+        engine_overrides: Optional[dict] = None,
     ):
         if stage_configs is None:
             if stage_configs_path:
@@ -62,6 +63,15 @@ class Omni:
                     stage_configs_path, model=model)
             else:
                 stage_configs = load_stage_configs_from_model(model)
+        if engine_overrides:
+            # serve-surface knobs (tp/dp/ep/sp, batching limits, quant)
+            # applied over every LLM stage's engine args
+            import dataclasses
+
+            for cfg in stage_configs:
+                if cfg.stage_type == "llm":
+                    cfg.engine_args = dataclasses.replace(
+                        cfg.engine_args, **engine_overrides)
         self.stage_configs = stage_configs
         self.out_q: "queue.Queue[StageOutput]" = queue.Queue()
 

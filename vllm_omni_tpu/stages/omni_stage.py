@@ -248,6 +248,16 @@ class OmniStage:
     def _run_batch(self, batch: list[StageTask], engine=None) -> None:
         engine = engine if engine is not None else self.engine
         t0 = time.monotonic()
+        # any abort flag for these requests is consumed by this run
+        # (streaming loops check mid-run); drop entries afterwards so
+        # disconnected ids do not accumulate for the process lifetime
+        try:
+            self._do_run_batch(batch, engine, t0)
+        finally:
+            for task in batch:
+                self._aborted.discard(task.request_id)
+
+    def _do_run_batch(self, batch: list[StageTask], engine, t0) -> None:
         try:
             stream_fn = getattr(engine, "generate_stream", None)
             if (stream_fn is not None and len(batch) == 1

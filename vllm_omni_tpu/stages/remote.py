@@ -105,6 +105,15 @@ class RemoteStage(OmniStage):
                 "stream": task.stream,
             })
 
+    def abort(self, request_id: str) -> None:
+        """Propagate the abort to the stage-host process."""
+        try:
+            with self._sock_lock:
+                _send(self._sock, {"type": "abort",
+                                   "request_id": request_id})
+        except (OSError, AttributeError):
+            pass
+
     def _reader(self) -> None:
         try:
             while True:
@@ -183,6 +192,9 @@ def serve_stage(cfg: StageConfig, port: int, host: str = "0.0.0.0") -> None:
             msg = _recv(conn)
             if msg.get("type") == "stop":
                 break
+            if msg.get("type") == "abort":
+                stage.abort(msg.get("request_id", ""))
+                continue
             if msg.get("type") != "task":
                 continue
             sp = msg.get("sampling_params")
