@@ -289,3 +289,24 @@ def test_preemption_preserves_output_and_penalty_state():
     got = [o.outputs[0].token_ids for o in small.generate(prompts, sp)]
     assert small.core.scheduler.num_preemptions > 0
     assert got == ref
+
+
+def test_generate_stream_preserves_concurrent_request_output():
+    """A generate_stream loop must not swallow the finished output of a
+    separately-added request (review fix: orphaned outputs are parked
+    for their run_to_completion caller)."""
+    llm = make_llm()
+    sp_short = SamplingParams(temperature=0.0, max_tokens=2,
+                              ignore_eos=True, detokenize=False)
+    sp_long = SamplingParams(temperature=0.0, max_tokens=10,
+                             ignore_eos=True, detokenize=False)
+    rid_bg = llm.add_request({"prompt_token_ids": [5, 6, 7]}, sp_short)
+    # stream a longer request: the short one finishes mid-stream
+    stream_toks = []
+    for out in llm.generate_stream({"prompt_token_ids": [1, 2, 3]},
+                                   sp_long):
+        stream_toks.append(out)
+    assert stream_toks[-1].finished
+    assert len(stream_toks[-1].outputs[0].token_ids) == 10
+    results = llm.run_to_completion({rid_bg})
+    assert len(results[rid_bg].outputs[0].token_ids) == 2

@@ -126,3 +126,64 @@ def test_two_process_pipeline_matches_local(stage_host):
         assert len(outs[1].request_output.outputs[0].token_ids) == 4
     finally:
         omni.shutdown()
+
+
+def test_remote_stage_streams_and_aborts(stage_host):
+    """Streaming partials flow back over the socket, and an abort
+    propagates to the stage-host process (review fix)."""
+    import asyncio
+
+    from vllm_omni_tpu.stages.async_omni import AsyncOmni
+
+    port = stage_host
+    cfgs = [
+        _stage0(),
+        StageConfig(
+            stage_id=1, stage_type="llm",
+            runtime=StageRuntimeConfig(remote=f"127.0.0.1:{port}"),
+            engine_args=EngineArgs.from_dict(dict(ENGINE_D)),
+            engine_input_source=[0], final_output=True,
+            final_output_type="text",
+            default_sampling_params=dict(SP1)),
+    ]
+
+    async def run():
+        omni = AsyncOmni(stage_configs=cfgs)
+        try:
+            partials, finals = [], []
+            async for out in omni.generate({"prompt_token_ids": [3, 4, 5]},
+                                           stream=True):
+                (partials if out.partial else finals).append(out)
+            # remote final stage streamed per-step partials over the wire
+            remote_partials = [p for p in partials if p.stage_id == 1]
+            assert len(remote_partials) >= 2
+            assert len(finals) == 1
+            assert len(finals[0].request_output.outputs[0].token_ids) == 4
+
+            # abort: break a long-running stream; the stage host must
+            # return to idle instead of generating the rest
+            import dataclasses
+
+            agen = omni.generate(
+                {"prompt_token_ids": [7, 8]},
+                sampling_params={1: __import__(
+                    "vllm_omni_tpu.sampling_params",
+                    fromlist=["SamplingParams"]).SamplingParams(
+                        temperature=0.0, max_tokens=500, ignore_eos=True,
+                        detokenize=False)},
+                stream=True)
+            seen = 0
+            async for out in agen:
+                seen += 1
+                if seen >= 3:
+                    break
+            await agen.aclose()  # -> abort message to the stage host
+            # completion proof: a fresh request still finishes promptly
+            # (the host would otherwise be busy with 500 tokens)
+            outs = [o async for o in omni.generate(
+                {"prompt_token_ids": [9]})]
+            assert len(outs) == 1 and not outs[0].partial
+        finally:
+            omni.shutdown()
+
+    asyncio.run(run())
