@@ -43,14 +43,27 @@ def _run_once(core, Request, SamplingParams, batch, prompt_len,
                 sampling_params=sp.clone(),
             )
         )
-    t0 = time.perf_counter()
     tokens = 0
+    events = []  # (t, cumulative tokens)
     while core.has_unfinished():
         for out in core.step():
             tokens += len(out.new_token_ids)
-    dt = time.perf_counter() - t0
+        events.append((time.perf_counter(), tokens))
     assert tokens == batch * decode_steps, (tokens, batch, decode_steps)
-    return tokens / dt
+
+    # decode rate = cumulative-token slope between 25% and 95% of the
+    # run: excludes the prefill phase (near-zero token emission) at ANY
+    # prompt length, so long-prompt configs measure decode, not prefill
+    def at(frac):
+        target = frac * tokens
+        for t, c in events:
+            if c >= target:
+                return t, c
+        return events[-1]
+
+    (t1, c1), (t2, c2) = at(0.25), at(0.95)
+    assert c2 > c1, "degenerate token timeline"
+    return (c2 - c1) / (t2 - t1)
 
 
 def main():

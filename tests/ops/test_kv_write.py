@@ -27,8 +27,8 @@ def _slots(T, seed=0):
 
 def test_write_kv_pages_matches_scatter():
     rng = np.random.default_rng(1)
-    k0 = jnp.asarray(rng.normal(size=(L, Hkv, N, B, D)), jnp.float32)
-    v0 = jnp.asarray(rng.normal(size=(L, Hkv, N, B, D)), jnp.float32)
+    k0 = jnp.asarray(rng.normal(size=(L, N, Hkv, B, D)), jnp.float32)
+    v0 = jnp.asarray(rng.normal(size=(L, N, Hkv, B, D)), jnp.float32)
     T = 16
     k_new = jnp.asarray(rng.normal(size=(T, Hkv, D)), jnp.float32)
     v_new = jnp.asarray(rng.normal(size=(T, Hkv, D)), jnp.float32)
@@ -43,8 +43,8 @@ def test_write_kv_pages_matches_scatter():
 
 def test_write_kv_pages_all_layers_matches_scatter():
     rng = np.random.default_rng(2)
-    k0 = jnp.asarray(rng.normal(size=(L, Hkv, N, B, D)), jnp.float32)
-    v0 = jnp.asarray(rng.normal(size=(L, Hkv, N, B, D)), jnp.float32)
+    k0 = jnp.asarray(rng.normal(size=(L, N, Hkv, B, D)), jnp.float32)
+    v0 = jnp.asarray(rng.normal(size=(L, N, Hkv, B, D)), jnp.float32)
     T = 8
     k_all = jnp.asarray(rng.normal(size=(L, T, Hkv, D)), jnp.float32)
     v_all = jnp.asarray(rng.normal(size=(L, T, Hkv, D)), jnp.float32)
@@ -63,8 +63,8 @@ def test_write_kv_pages_all_layers_matches_scatter():
 def test_same_page_multiple_tokens():
     """Two tokens landing in the same page must both persist (sequential
     grid read-modify-write)."""
-    k0 = jnp.zeros((L, Hkv, N, B, D), jnp.float32)
-    v0 = jnp.zeros((L, Hkv, N, B, D), jnp.float32)
+    k0 = jnp.zeros((L, N, Hkv, B, D), jnp.float32)
+    v0 = jnp.zeros((L, N, Hkv, B, D), jnp.float32)
     T = 4
     slots = jnp.asarray([5 * B + 1, 5 * B + 9, 7 * B, 5 * B + 2], jnp.int32)
     rng = np.random.default_rng(4)
@@ -74,7 +74,7 @@ def test_same_page_multiple_tokens():
         k0, v0, 1, k_new, v_new, slots, interpret=True)
     for t, s in enumerate(np.asarray(slots)):
         np.testing.assert_array_equal(
-            np.asarray(k_got[1, :, s // B, s % B]), np.asarray(k_new[t]))
+            np.asarray(k_got[1, s // B, :, s % B]), np.asarray(k_new[t]))
 
 
 def test_deferred_self_column_matches_write_first():
@@ -83,8 +83,8 @@ def test_deferred_self_column_matches_write_first():
     rng = np.random.default_rng(5)
     S, MAXB = 4, 3
     T = S
-    k_c = jnp.asarray(rng.normal(size=(Hkv, N, B, D)), jnp.float32)
-    v_c = jnp.asarray(rng.normal(size=(Hkv, N, B, D)), jnp.float32)
+    k_c = jnp.asarray(rng.normal(size=(N, Hkv, B, D)), jnp.float32)
+    v_c = jnp.asarray(rng.normal(size=(N, Hkv, B, D)), jnp.float32)
     q = jnp.asarray(rng.normal(size=(T, 2 * Hkv, D)), jnp.float32)
     k_self = jnp.asarray(rng.normal(size=(T, Hkv, D)), jnp.float32)
     v_self = jnp.asarray(rng.normal(size=(T, Hkv, D)), jnp.float32)

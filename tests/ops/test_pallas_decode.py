@@ -19,9 +19,9 @@ def _setup(seed, T, S, Hq, Hkv, D, B, MAXB, max_pos):
     q = jnp.asarray(rng.normal(size=(T, Hq, D)).astype(np.float32))
     N = S * MAXB + 1
     k_cache = jnp.asarray(
-        rng.normal(size=(Hkv, N, B, D)).astype(np.float32))
+        rng.normal(size=(N, Hkv, B, D)).astype(np.float32))
     v_cache = jnp.asarray(
-        rng.normal(size=(Hkv, N, B, D)).astype(np.float32))
+        rng.normal(size=(N, Hkv, B, D)).astype(np.float32))
     # distinct random pages per row
     tables = rng.permutation(np.arange(1, N))[: S * MAXB].reshape(S, MAXB)
     seq_lens = rng.integers(1, max_pos, S)
@@ -92,3 +92,51 @@ def test_decode_first_token_empty_cache():
     # softmax over one column == v_self
     expect = np.repeat(np.asarray(v_self), Hq // Hkv, axis=1)
     np.testing.assert_allclose(np.asarray(got), expect, atol=2e-5)
+
+
+def test_decode_multi_chunk_long_context():
+    """4k-token contexts span many KV chunks (forced CT=128): the
+    online-softmax combine across chunks must match the gather path
+    exactly (round-3: the former MAXB*B<=1024 kernel cap is gone)."""
+    T, S, Hq, Hkv, D, B, MAXB = 4, 4, 4, 2, 64, 16, 256  # 4096 tokens max
+    q, kc, vc, tables, seq_lens, rng = _setup(7, T, S, Hq, Hkv, D, B,
+                                              MAXB, B * MAXB)
+    # force long contexts (poorly covered by the uniform draw)
+    seq_lens = jnp.asarray([4096, 3999, 130, 1], jnp.int32)
+    rows = np.arange(T)
+    positions = jnp.asarray([int(s) - 1 for s in np.asarray(seq_lens)],
+                            jnp.int32)
+    token_rows = jnp.asarray(rows, jnp.int32)
+    k_self = jnp.asarray(rng.normal(size=(T, Hkv, D)).astype(np.float32))
+    v_self = jnp.asarray(rng.normal(size=(T, Hkv, D)).astype(np.float32))
+    ref = ragged_paged_attention_gather(
+        q, kc, vc, None, None, seq_lens, tables, positions, token_rows,
+        scale=D**-0.5, k_self=k_self, v_self=v_self)
+    got = decode_paged_attention(
+        q, kc, vc, seq_lens, tables, positions, token_rows,
+        scale=D**-0.5, k_self=k_self, v_self=v_self, has_self=True,
+        interpret=True, chunk_tokens=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_decode_multi_chunk_sliding_window():
+    """Sliding window across chunk boundaries: whole chunks below the
+    window are skipped (never DMA'd) yet the result matches gather."""
+    T, S, Hq, Hkv, D, B, MAXB = 2, 2, 4, 2, 64, 16, 64  # 1024 tokens max
+    q, kc, vc, tables, seq_lens, rng = _setup(8, T, S, Hq, Hkv, D, B,
+                                              MAXB, B * MAXB)
+    seq_lens = jnp.asarray([1000, 700], jnp.int32)
+    positions = jnp.asarray([999, 699], jnp.int32)
+    token_rows = jnp.asarray([0, 1], jnp.int32)
+    k_self = jnp.asarray(rng.normal(size=(T, Hkv, D)).astype(np.float32))
+    v_self = jnp.asarray(rng.normal(size=(T, Hkv, D)).astype(np.float32))
+    ref = ragged_paged_attention_gather(
+        q, kc, vc, None, None, seq_lens, tables, positions, token_rows,
+        scale=D**-0.5, sliding_window=300, k_self=k_self, v_self=v_self)
+    got = decode_paged_attention(
+        q, kc, vc, seq_lens, tables, positions, token_rows,
+        scale=D**-0.5, k_self=k_self, v_self=v_self, sliding_window=300,
+        has_self=True, interpret=True, chunk_tokens=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

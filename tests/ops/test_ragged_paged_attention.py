@@ -36,7 +36,7 @@ def build_case(rng, seqs, Hq=4, Hkv=2, D=16, block_size=8, max_blocks=8, T_pad=N
     """seqs: list of (ctx_len, new_len). Returns inputs + oracle output."""
     S = len(seqs)
     num_blocks = 1 + S * max_blocks
-    k_cache = np.zeros((Hkv, num_blocks, block_size, D), np.float32)
+    k_cache = np.zeros((num_blocks, Hkv, block_size, D), np.float32)
     v_cache = np.zeros_like(k_cache)
     T = sum(n for _, n in seqs)
     T_pad = T_pad or T
@@ -61,8 +61,8 @@ def build_case(rng, seqs, Hq=4, Hkv=2, D=16, block_size=8, max_blocks=8, T_pad=N
         v_seq = rng.normal(size=(L, Hkv, D)).astype(np.float32)
         for pos in range(L):
             b, off = blocks[pos // block_size], pos % block_size
-            k_cache[:, b, off] = k_seq[pos]
-            v_cache[:, b, off] = v_seq[pos]
+            k_cache[b, :, off] = k_seq[pos]
+            v_cache[b, :, off] = v_seq[pos]
         q_seq = rng.normal(size=(new, Hq, D)).astype(np.float32)
         q[t : t + new] = q_seq
         positions[t : t + new] = np.arange(ctx, L)
@@ -97,16 +97,16 @@ def test_ragged_vs_naive(seqs):
 
 
 def test_write_kv_scatter():
-    # [Hkv=2, Nblk=4, B=8, D=16]
-    k_cache = jnp.zeros((2, 4, 8, 16))
-    v_cache = jnp.zeros((2, 4, 8, 16))
+    # [Nblk=4, Hkv=2, B=8, D=16] page-major
+    k_cache = jnp.zeros((4, 2, 8, 16))
+    v_cache = jnp.zeros((4, 2, 8, 16))
     k_new = jnp.ones((3, 2, 16))
     v_new = jnp.full((3, 2, 16), 2.0)
     slots = jnp.array([8, 9, 17], jnp.int32)  # block1 off0, off1; block2 off1
     k2, v2 = write_kv(k_cache, v_cache, k_new, v_new, slots)
-    assert float(k2[0, 1, 0, 0]) == 1.0
+    assert float(k2[1, 0, 0, 0]) == 1.0
     assert float(k2[1, 1, 1, 0]) == 1.0
-    assert float(v2[1, 2, 1, 5]) == 2.0
+    assert float(v2[2, 1, 1, 5]) == 2.0
     assert float(k2[0, 0, 0, 0]) == 0.0
 
 

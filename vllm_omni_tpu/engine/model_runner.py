@@ -86,9 +86,11 @@ class ModelRunner:
                 f"num_kv_heads {spec.num_kv_heads} not divisible by tp {self.tp}"
             )
         B = config.cache_config.block_size
-        # head-major paged layout: per-head pages are contiguous [B, D]
-        # tiles for the pallas kernel's DMAs
-        shape = (spec.num_layers, spec.num_kv_heads, self.num_blocks, B, spec.head_dim)
+        # page-major paged layout [L, N, Hkv, B, D]: one page is one
+        # contiguous (Hkv*B*D)-byte region, so the attention kernels'
+        # page DMAs are single contiguous transfers (~89% of HBM peak
+        # on v5e vs ~70% head-major; benchmarks/micro_dma.py)
+        shape = (spec.num_layers, self.num_blocks, spec.num_kv_heads, B, spec.head_dim)
         cache_dtype = config.cache_config.cache_dtype
         self.kv_cache = {
             "k": jnp.zeros(shape, cache_dtype),

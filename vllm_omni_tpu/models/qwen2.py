@@ -147,7 +147,7 @@ class Qwen2ForCausalLM:
         self,
         params: dict[str, Any],
         hidden: jax.Array,  # [T, H] embeddings
-        kv_cache: dict[str, jax.Array],  # {"k","v"}: [L, Hkv, Nblk, B, D]
+        kv_cache: dict[str, jax.Array],  # {"k","v"}: [L, Nblk, Hkv, B, D]
         meta: AttentionMetadata,
         attention_backend: Optional[str] = None,
         tp_axis: Optional[str] = None,

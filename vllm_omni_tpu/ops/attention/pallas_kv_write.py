@@ -8,8 +8,10 @@ page per KV head into VMEM, overwrites one row, and DMAs it back.
 Traffic per token: 2 * Hkv * B * D bytes (~64 KB) instead of the whole
 cache.
 
-Layout (head-major pages, matching ops/attention/ragged_paged.py):
-  k_cache, v_cache: [L, Hkv, N_blk, B, D]
+Layout (page-major pages, matching ops/attention/ragged_paged.py):
+  k_cache, v_cache: [L, N_blk, Hkv, B, D] — one page is one contiguous
+  (Hkv*B*D)-byte region, so the page-in/page-out DMAs are single
+  contiguous transfers
   k_new, v_new:     [T, Hkv, D]
   slot_mapping:     [T] int32 flat slot = blk * B + off (pad tokens -> 0)
   layer:            [1] int32
@@ -45,7 +47,7 @@ def _kv_write_kernel(
     k_in_ref,  # ANY (aliased to k_out)
     v_in_ref,
     # outputs (aliased)
-    k_out_ref,  # [L, Hkv, N, B, D] ANY
+    k_out_ref,  # [L, N, Hkv, B, D] ANY
     v_out_ref,
     # scratch
     k_page,  # [Hkv, B, D] VMEM
@@ -59,9 +61,9 @@ def _kv_write_kernel(
 
     # page in
     k_cp = pltpu.make_async_copy(
-        k_out_ref.at[li, :, blk], k_page, sem.at[0])
+        k_out_ref.at[li, blk], k_page, sem.at[0])
     v_cp = pltpu.make_async_copy(
-        v_out_ref.at[li, :, blk], v_page, sem.at[1])
+        v_out_ref.at[li, blk], v_page, sem.at[1])
     k_cp.start()
     v_cp.start()
     k_cp.wait()
@@ -77,9 +79,9 @@ def _kv_write_kernel(
 
     # page out
     k_cp = pltpu.make_async_copy(
-        k_page, k_out_ref.at[li, :, blk], sem.at[0])
+        k_page, k_out_ref.at[li, blk], sem.at[0])
     v_cp = pltpu.make_async_copy(
-        v_page, v_out_ref.at[li, :, blk], sem.at[1])
+        v_page, v_out_ref.at[li, blk], sem.at[1])
     k_cp.start()
     v_cp.start()
     k_cp.wait()
@@ -91,7 +93,7 @@ def _kv_write_kernel(
 def _kv_write_call(k_cache, v_cache, k_new, v_new, blk, off, layer,
                    interpret=False):
     T = k_new.shape[0]
-    _, Hkv, _, B, D = k_cache.shape
+    _, _, Hkv, B, D = k_cache.shape
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -121,7 +123,7 @@ def _kv_write_call(k_cache, v_cache, k_new, v_new, blk, off, layer,
 
 
 def write_kv_pages(
-    k_cache: jax.Array,  # [L, Hkv, N, B, D]
+    k_cache: jax.Array,  # [L, N, Hkv, B, D]
     v_cache: jax.Array,
     layer,  # int or traced scalar
     k_new: jax.Array,  # [T, Hkv, D]
@@ -148,7 +150,7 @@ def _kv_write_all_kernel(
     k_new_ref,  # [L, T, Hkv, D] VMEM
     v_new_ref,
     k_in_ref, v_in_ref,  # ANY (aliased)
-    k_out_ref, v_out_ref,  # [L, Hkv, N, B, D] ANY
+    k_out_ref, v_out_ref,  # [L, N, Hkv, B, D] ANY
     k_page, v_page, sem,
 ):
     li = pl.program_id(0)
@@ -156,9 +158,9 @@ def _kv_write_all_kernel(
     blk = blk_ref[t]
     off = off_ref[t]
     k_cp = pltpu.make_async_copy(
-        k_out_ref.at[li, :, blk], k_page, sem.at[0])
+        k_out_ref.at[li, blk], k_page, sem.at[0])
     v_cp = pltpu.make_async_copy(
-        v_out_ref.at[li, :, blk], v_page, sem.at[1])
+        v_out_ref.at[li, blk], v_page, sem.at[1])
     k_cp.start()
     v_cp.start()
     k_cp.wait()
@@ -169,9 +171,9 @@ def _kv_write_all_kernel(
     k_page[...] = jnp.where(hit, k_new_ref[li, t][:, None, :], k_page[...])
     v_page[...] = jnp.where(hit, v_new_ref[li, t][:, None, :], v_page[...])
     k_cp = pltpu.make_async_copy(
-        k_page, k_out_ref.at[li, :, blk], sem.at[0])
+        k_page, k_out_ref.at[li, blk], sem.at[0])
     v_cp = pltpu.make_async_copy(
-        v_page, v_out_ref.at[li, :, blk], sem.at[1])
+        v_page, v_out_ref.at[li, blk], sem.at[1])
     k_cp.start()
     v_cp.start()
     k_cp.wait()
@@ -183,7 +185,7 @@ def _kv_write_all_kernel(
 def _kv_write_all_call(k_cache, v_cache, k_new, v_new, blk, off,
                        interpret=False):
     L, T = k_new.shape[:2]
-    _, Hkv, _, B, D = k_cache.shape
+    _, _, Hkv, B, D = k_cache.shape
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -213,7 +215,7 @@ def _kv_write_all_call(k_cache, v_cache, k_new, v_new, blk, off,
 
 
 def write_kv_pages_all_layers(
-    k_cache: jax.Array,  # [L, Hkv, N, B, D]
+    k_cache: jax.Array,  # [L, N, Hkv, B, D]
     v_cache: jax.Array,
     k_new: jax.Array,  # [L, T, Hkv, D]
     v_new: jax.Array,

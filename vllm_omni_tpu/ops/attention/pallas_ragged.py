@@ -40,8 +40,8 @@ def _kernel(
     token_rows_ref,  # [T] (only tile endpoints are read)
     # inputs
     q_ref,  # [1, TQ, G*D] VMEM tile (this kv head's q group)
-    k_hbm_ref,  # [Hkv, Nblk, B, D] ANY/HBM
-    v_hbm_ref,  # [Hkv, Nblk, B, D]
+    k_hbm_ref,  # [Nblk, Hkv, B, D] ANY/HBM (page-major)
+    v_hbm_ref,  # [Nblk, Hkv, B, D]
     # outputs
     out_ref,  # [1, TQ, G*D] VMEM tile
     # scratch
@@ -86,7 +86,7 @@ def _kernel(
 
     def get_dma(kv, buf_slot, cache_ref, buf, blk):
         return pltpu.make_async_copy(
-            cache_ref.at[h, blk],  # contiguous [B, D] page
+            cache_ref.at[blk, h],  # contiguous [B, D] page
             buf.at[buf_slot],
             sems.at[kv, buf_slot],
         )
@@ -164,7 +164,7 @@ def _kernel(
 )
 def ragged_paged_attention_pallas(
     q: jax.Array,  # [T, Hq, D]
-    k_cache: jax.Array,  # [Hkv, Nblk, B, D]
+    k_cache: jax.Array,  # [Nblk, Hkv, B, D] page-major
     v_cache: jax.Array,
     q_starts: jax.Array,  # [S]
     q_lens: jax.Array,  # [S]
@@ -179,7 +179,7 @@ def ragged_paged_attention_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     T, Hq, D = q.shape
-    Hkv, Nblk, B, _ = k_cache.shape
+    Nblk, Hkv, B, _ = k_cache.shape
     S, MAXB = block_tables.shape
     G = Hq // Hkv
     TQ = min(q_tile, T)

@@ -15,8 +15,11 @@ Two implementations behind one signature:
 
 Shapes:
   q            [T, Hq, D]    flattened new tokens
-  k_cache      [Hkv, N_blk, B, D]   (head-major: per-head pages are
-  v_cache      [Hkv, N_blk, B, D]    contiguous [B, D] tiles for DMA)
+  k_cache      [N_blk, Hkv, B, D]   (page-major: one page is ONE
+  v_cache      [N_blk, Hkv, B, D]    contiguous Hkv*B*D-byte DMA;
+                                     measured ~89% of HBM peak on v5e
+                                     vs ~70% head-major — see
+                                     benchmarks/micro_dma.py)
   q_starts     [S] int32     token-axis start of each row's segment
   q_lens       [S] int32     segment length (0 = idle row)
   seq_lens     [S] int32     total kv len per row (incl. this step's tokens)
@@ -38,7 +41,7 @@ NEG_INF = -1e30
 
 
 def write_kv(
-    k_cache: jax.Array,  # [Hkv, N_blk, B, D]
+    k_cache: jax.Array,  # [N_blk, Hkv, B, D]
     v_cache: jax.Array,
     k_new: jax.Array,  # [T, Hkv, D]
     v_new: jax.Array,
@@ -46,18 +49,18 @@ def write_kv(
 ) -> tuple[jax.Array, jax.Array]:
     """Scatter this step's K/V into the paged cache (pad tokens hit the
     reserved pad block 0, harmlessly)."""
-    hk, nb, bs, d = k_cache.shape
-    k_flat = k_cache.reshape(hk, nb * bs, d)
-    v_flat = v_cache.reshape(hk, nb * bs, d)
-    k_t = jnp.swapaxes(k_new, 0, 1).astype(k_cache.dtype)  # [Hkv, T, D]
-    v_t = jnp.swapaxes(v_new, 0, 1).astype(v_cache.dtype)
-    k_flat = k_flat.at[:, slot_mapping].set(k_t)
-    v_flat = v_flat.at[:, slot_mapping].set(v_t)
-    return k_flat.reshape(hk, nb, bs, d), v_flat.reshape(hk, nb, bs, d)
+    nb, hk, bs, d = k_cache.shape
+    blk = slot_mapping // bs
+    off = slot_mapping % bs
+    # advanced indices at axes (0, 2) with the Hkv slice between ->
+    # result/update shape [T, Hkv, D]
+    k_cache = k_cache.at[blk, :, off].set(k_new.astype(k_cache.dtype))
+    v_cache = v_cache.at[blk, :, off].set(v_new.astype(v_cache.dtype))
+    return k_cache, v_cache
 
 
 def write_kv_layer(
-    k_cache: jax.Array,  # [L, Hkv, N_blk, B, D] (FULL stack, all layers)
+    k_cache: jax.Array,  # [L, N_blk, Hkv, B, D] (FULL stack, all layers)
     v_cache: jax.Array,
     layer: jax.Array,  # scalar int32 layer index
     k_new: jax.Array,  # [T, Hkv, D]
@@ -74,17 +77,17 @@ def write_kv_layer(
     bs = k_cache.shape[3]
     blk = slot_mapping // bs
     off = slot_mapping % bs
-    # advanced indices at axes (0, 2, 3) with the Hkv slice between ->
+    # advanced indices at axes (0, 1, 3) with the Hkv slice between ->
     # result/update shape [T, Hkv, D]
-    k_cache = k_cache.at[layer, :, blk, off].set(
+    k_cache = k_cache.at[layer, blk, :, off].set(
         k_new.astype(k_cache.dtype))
-    v_cache = v_cache.at[layer, :, blk, off].set(
+    v_cache = v_cache.at[layer, blk, :, off].set(
         v_new.astype(v_cache.dtype))
     return k_cache, v_cache
 
 
 def write_kv_auto(
-    k_cache: jax.Array,  # [L, Hkv, N_blk, B, D]
+    k_cache: jax.Array,  # [L, N_blk, Hkv, B, D]
     v_cache: jax.Array,
     layer,
     k_new: jax.Array,  # [T, Hkv, D]
@@ -120,7 +123,7 @@ def write_kv_auto(
 
 
 def commit_kv_all_layers(
-    k_cache: jax.Array,  # [L, Hkv, N, B, D]
+    k_cache: jax.Array,  # [L, N, Hkv, B, D]
     v_cache: jax.Array,
     k_all: jax.Array,  # [L, T, Hkv, D] from a deferred-write forward
     v_all: jax.Array,
@@ -147,10 +150,12 @@ def commit_kv_all_layers(
             k_cache, v_cache, k_all, v_all, slot_mapping)
     blk = slot_mapping // B
     off = slot_mapping % B
-    k_cache = k_cache.at[:, :, blk, off].set(
-        jnp.swapaxes(k_all, 1, 2).astype(k_cache.dtype))
-    v_cache = v_cache.at[:, :, blk, off].set(
-        jnp.swapaxes(v_all, 1, 2).astype(v_cache.dtype))
+    # advanced indices at axes (1, 3) around the Hkv slice -> update
+    # shape [T, L, Hkv, D]
+    k_cache = k_cache.at[:, blk, :, off].set(
+        jnp.swapaxes(k_all, 0, 1).astype(k_cache.dtype))
+    v_cache = v_cache.at[:, blk, :, off].set(
+        jnp.swapaxes(v_all, 0, 1).astype(v_cache.dtype))
     return k_cache, v_cache
 
 
@@ -174,7 +179,7 @@ def ragged_paged_attention_ref(
 ) -> jax.Array:
     T, Hq, D = q.shape
     S, MAXB = block_tables.shape
-    Hkv, _, B, _ = k_cache.shape
+    _, Hkv, B, _ = k_cache.shape
     G = Hq // Hkv
     L = MAXB * B  # max kv length (static)
 
@@ -184,8 +189,10 @@ def ragged_paged_attention_ref(
         out = carry
         # gather this row's pages -> [Hkv, L, D]
         blocks = block_tables[s]  # [MAXB]
-        k_s = k_cache[:, blocks].reshape(Hkv, L, D).astype(jnp.float32)
-        v_s = v_cache[:, blocks].reshape(Hkv, L, D).astype(jnp.float32)
+        k_s = jnp.swapaxes(k_cache[blocks], 0, 1).reshape(
+            Hkv, L, D).astype(jnp.float32)
+        v_s = jnp.swapaxes(v_cache[blocks], 0, 1).reshape(
+            Hkv, L, D).astype(jnp.float32)
         # scores for ALL query tokens vs this row's KV: [T, Hkv, G, L]
         qg = qf.reshape(T, Hkv, G, D)
         scores = jnp.einsum("thgd,hld->thgl", qg, k_s) * scale
@@ -243,7 +250,7 @@ def ragged_paged_attention_gather(
     dispatch restricts it to small-T (decode/mixed) batches."""
     T, Hq, D = q.shape
     S, MAXB = block_tables.shape
-    Hkv, _, B, _ = k_cache.shape
+    _, Hkv, B, _ = k_cache.shape
     G = Hq // Hkv
     L = MAXB * B
 
@@ -254,9 +261,11 @@ def ragged_paged_attention_gather(
 
     rows = jnp.clip(token_rows, 0, S - 1)
     tables = block_tables[rows]  # [T, MAXB]
-    # gather each token's pages: [Hkv, T, MAXB, B, D] -> [T, Hkv, L, D]
-    k_t = jnp.swapaxes(k_cache[:, tables], 0, 1).reshape(T, Hkv, L, D)
-    v_t = jnp.swapaxes(v_cache[:, tables], 0, 1).reshape(T, Hkv, L, D)
+    # gather each token's pages: [T, MAXB, Hkv, B, D] -> [T, Hkv, L, D]
+    k_t = jnp.transpose(k_cache[tables], (0, 2, 1, 3, 4)).reshape(
+        T, Hkv, L, D)
+    v_t = jnp.transpose(v_cache[tables], (0, 2, 1, 3, 4)).reshape(
+        T, Hkv, L, D)
 
     qg = q.astype(jnp.float32).reshape(T, Hkv, G, D)
     scores = jnp.einsum(
@@ -337,15 +346,16 @@ def ragged_paged_attention(
     from vllm_omni_tpu import envs
 
     def _decode_pallas_ok():
+        # KV-chunked (flash-decoding) kernel: constant VMEM in context
+        # length, so there is no context cap (round-3; formerly gated at
+        # MAXB * B <= 1024)
         D = q.shape[-1]
         B = k_cache.shape[2]
-        MAXB = block_tables.shape[1]
         return (
             envs.is_tpu_platform()
             and os.environ.get("OMNI_TPU_DECODE_ATTN", "pallas") == "pallas"
             and D % 128 == 0 and B % 8 == 0
             and k_cache.dtype == q.dtype
-            and MAXB * B <= 1024  # VMEM budget (2 token slots x K/V)
             and logit_cap == 0.0
         )
 

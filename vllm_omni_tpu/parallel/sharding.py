@@ -71,14 +71,18 @@ def qwen_param_specs(params: dict[str, Any], axis: str = AXIS_MODEL) -> dict[str
     def walk(node, path=""):
         if isinstance(node, dict):
             return {k: walk(v, f"{path}/{k}") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            # e.g. per-level deepstack projections in the omni thinker
+            return type(node)(
+                walk(v, f"{path}/{i}") for i, v in enumerate(node))
         return spec_for(path, node)
 
     return walk(params)
 
 
 def kv_cache_specs(axis: str = AXIS_MODEL) -> dict[str, P]:
-    # [L, Hkv, Nblk, B, D] sharded over kv heads
-    return {"k": P(None, axis), "v": P(None, axis)}
+    # [L, Nblk, Hkv, B, D] sharded over kv heads
+    return {"k": P(None, None, axis), "v": P(None, None, axis)}
 
 
 def place(tree, specs, mesh: Mesh):
