@@ -63,6 +63,8 @@ class StageConfig:
     def resolve_input_processor(self) -> Optional[Callable]:
         if not self.custom_process_input_func:
             return None
+        if callable(self.custom_process_input_func):
+            return self.custom_process_input_func
         mod_path, _, fn_name = self.custom_process_input_func.rpartition(".")
         mod = importlib.import_module(mod_path)
         return getattr(mod, fn_name)

@@ -51,6 +51,8 @@ class DiffusionEngine:
         pipeline: Optional[Any] = None,
         load_weights: bool = True,
         text_encoder: Optional[Callable] = None,
+        devices: Optional[list] = None,
+        pipeline_kwargs: Optional[dict] = None,
     ):
         self.od_config = od_config
         set_current_omni_diffusion_config(od_config)
@@ -65,9 +67,10 @@ class DiffusionEngine:
                     f"cannot resolve pipeline class for {od_config.model!r}"
                 )
             pipe_cls = resolve_diffusion_pipeline(cls_name)
-            self.pipeline = pipe_cls(
-                od_config, load_weights=load_weights, text_encoder=text_encoder
-            )
+            kw = {"load_weights": load_weights,
+                  "text_encoder": text_encoder}
+            kw.update(pipeline_kwargs or {})
+            self.pipeline = pipe_cls(od_config, **kw)
         if od_config.cache_config.cache_backend:
             from vllm_omni_tpu.diffusion.cache import get_cache_backend
 
@@ -81,7 +84,8 @@ class DiffusionEngine:
                 setup_parallel_placement,
             )
 
-            setup_parallel_placement(self.pipeline, od_config)
+            setup_parallel_placement(self.pipeline, od_config,
+                                     devices=devices)
 
     def step(self, requests: list[OmniDiffusionRequest]) -> list[OmniRequestOutput]:
         outputs = []

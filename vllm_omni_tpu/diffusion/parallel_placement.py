@@ -93,7 +93,7 @@ class VaeDecoder:
         return self.decode_fn(vae_params, z)
 
 
-def setup_parallel_placement(pipeline, od_config) -> None:
+def setup_parallel_placement(pipeline, od_config, devices=None) -> None:
     """Install DP/SP placement hooks and/or the VAE slice on a pipeline.
 
     Mutates: `pipeline._dp_place` / `pipeline._sp_place` (identity by
@@ -101,7 +101,8 @@ def setup_parallel_placement(pipeline, od_config) -> None:
     wraps `pipeline._decode`.
     """
     pc = od_config.parallel_config
-    devices = jax.devices()
+    if devices is None:
+        devices = jax.devices()  # else: the stage's pinned slice
     n_vae = pc.vae_parallel_size
     if n_vae > 0:
         if n_vae >= len(devices):

@@ -105,6 +105,50 @@ class OmniStage:
         self._ready_count = 0
         # request ids whose client went away: streaming loops stop early
         self._aborted: set[str] = set()
+        # disaggregation: runtime.devices pins this stage's engines to a
+        # slice of jax.devices(); non-mesh engines run under
+        # jax.default_device(slice[0]) and edge payloads are re-homed on
+        # entry (reference: per-stage CUDA_VISIBLE_DEVICES pinning,
+        # omni_stage.py:403-600 + stage_utils.py:14)
+        self._exec_device = None
+        self._pinned = False
+
+    def _stage_devices(self):
+        idx = self.config.runtime.device_indices()
+        if idx is None:
+            return None
+        import jax
+
+        devs = jax.devices()
+        missing = [i for i in idx if i >= len(devs)]
+        if missing:
+            raise ValueError(
+                f"stage {self.stage_id}: runtime.devices {idx} out of "
+                f"range, only {len(devs)} visible")
+        return [devs[i] for i in idx]
+
+    def _place_prompt(self, obj):
+        """Re-home live device arrays crossing the stage edge onto this
+        stage's slice (ICI device-to-device; no host round-trip). LLM
+        engines re-upload through the packed step descriptor anyway, so
+        their inputs are pulled to host instead — both directions keep
+        cross-slice hand-offs explicit at the edge."""
+        if not self._pinned:
+            return obj
+        import jax
+
+        to_host = self._exec_device is None  # mesh (LLM) engines
+
+        def put(x):
+            if isinstance(x, jax.Array):
+                if to_host:
+                    import numpy as np
+
+                    return np.asarray(x)
+                return jax.device_put(x, self._exec_device)
+            return x
+
+        return jax.tree_util.tree_map(put, obj)
 
     @property
     def _thread(self):  # back-compat alias (single-replica callers)
@@ -127,6 +171,26 @@ class OmniStage:
     def _build_engine(self, replica: int = 0):
         if self.engine_factory is not None:
             return self.engine_factory(self.config)
+        devs = self._stage_devices()
+        if devs is not None and self.n_replicas == 1:
+            self._pinned = True
+            if self.config.stage_type == "llm":
+                from vllm_omni_tpu.engine.llm import LLM
+
+                # mesh engines build their TP/EP/SP mesh over the slice
+                return LLM(engine_args=self.config.engine_args,
+                           devices=devs)
+            # single-device engines: construct AND run under
+            # jax.default_device(slice[0]) (thread-local, see
+            # _stage_worker)
+            import jax
+
+            self._exec_device = devs[0]
+            with jax.default_device(self._exec_device):
+                return self._build_engine_unpinned(replica)
+        return self._build_engine_unpinned(replica)
+
+    def _build_engine_unpinned(self, replica: int = 0):
         if self.n_replicas > 1:
             # each replica: an independent single-DP engine on its own
             # device slice (slice width = the engine's non-DP world size)
@@ -193,12 +257,18 @@ class OmniStage:
             from vllm_omni_tpu.config.diffusion import OmniDiffusionConfig
             from vllm_omni_tpu.diffusion.engine import DiffusionEngine
 
+            dargs = dict(self.config.diffusion_args)
+            # component configs for the pipeline constructor (tiny test
+            # models / custom component sources, parity with the
+            # reference's per-component diffusers sources)
+            pipeline_kwargs = dargs.pop("pipeline_kwargs", {})
             od = OmniDiffusionConfig(
                 model=self.config.engine_args.model,
                 dtype=self.config.engine_args.dtype,
-                **self.config.diffusion_args,
+                **dargs,
             )
-            return DiffusionEngine(od)
+            return DiffusionEngine(od, devices=self._stage_devices(),
+                                   pipeline_kwargs=pipeline_kwargs)
         from vllm_omni_tpu.engine.llm import LLM
 
         return LLM(engine_args=self.config.engine_args)
@@ -252,7 +322,16 @@ class OmniStage:
         # (streaming loops check mid-run); drop entries afterwards so
         # disconnected ids do not accumulate for the process lifetime
         try:
-            self._do_run_batch(batch, engine, t0)
+            if self._pinned:
+                for task in batch:
+                    task.prompt = self._place_prompt(task.prompt)
+            if self._exec_device is not None:
+                import jax
+
+                with jax.default_device(self._exec_device):
+                    self._do_run_batch(batch, engine, t0)
+            else:
+                self._do_run_batch(batch, engine, t0)
         finally:
             for task in batch:
                 self._aborted.discard(task.request_id)
@@ -341,15 +420,23 @@ class OmniStage:
 
     def _run_diffusion_batch(self, batch: list[StageTask], engine=None):
         engine = engine if engine is not None else self.engine
+        import dataclasses
+
         from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
 
+        # engine-level diffusion_args (pipeline_class, parallel_config,
+        # pipeline_kwargs, cache knobs, ...) are not request fields —
+        # only per-request keys flow into OmniDiffusionRequest
+        req_fields = {f.name for f in dataclasses.fields(OmniDiffusionRequest)}
         reqs = []
         for t in batch:
-            kwargs = dict(self.config.diffusion_args)
+            kwargs = {k: v for k, v in self.config.diffusion_args.items()
+                      if k in req_fields}
             kwargs.update(t.diffusion_kwargs)
             prompt = t.prompt if isinstance(t.prompt, str) else ""
             if isinstance(t.prompt, dict):
-                kwargs.update(t.prompt)
+                kwargs.update({k: v for k, v in t.prompt.items()
+                               if k in req_fields or k == "prompt"})
                 prompt = kwargs.pop("prompt", "")
             reqs.append(OmniDiffusionRequest(
                 request_id=t.request_id, prompt=prompt, **kwargs))
