@@ -60,6 +60,32 @@ class StageConfig:
     # Diffusion-stage passthrough kwargs (height/width/steps defaults...).
     diffusion_args: dict[str, Any] = field(default_factory=dict)
 
+    def to_dict(self) -> dict[str, Any]:
+        """JSON-safe dict (inverse of stage_config_from_dict) for
+        shipping the config to a stage-host subprocess
+        (stages/supervisor.py)."""
+        import dataclasses
+
+        if callable(self.custom_process_input_func):
+            raise TypeError(
+                "custom_process_input_func must be a dotted path (not a "
+                "callable) for a remote/supervised stage")
+        runtime = dataclasses.asdict(self.runtime)
+        runtime["remote"] = ""  # the child IS the host
+        return {
+            "stage_id": self.stage_id,
+            "stage_type": self.stage_type,
+            "runtime": runtime,
+            "engine_args": dataclasses.asdict(self.engine_args),
+            "engine_input_source": list(self.engine_input_source),
+            "custom_process_input_func": self.custom_process_input_func,
+            "final_output": self.final_output,
+            "final_output_type": self.final_output_type,
+            "is_comprehension": self.is_comprehension,
+            "default_sampling_params": dict(self.default_sampling_params),
+            "diffusion_args": dict(self.diffusion_args),
+        }
+
     def resolve_input_processor(self) -> Optional[Callable]:
         if not self.custom_process_input_func:
             return None

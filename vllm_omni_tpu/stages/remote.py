@@ -63,26 +63,34 @@ def _recv(sock: socket.socket) -> Any:
 
 class RemoteStage(OmniStage):
     """Orchestrator-side proxy with the OmniStage surface; the engine
-    lives in the stage-host process at `config.runtime.remote`."""
+    lives in the stage-host process at `config.runtime.remote`.
+
+    `runtime.remote: "auto"` (or "auto:cpu") spawns a SUPERVISED
+    stage-host subprocess (stages/supervisor.py): on crash the host is
+    respawned, the proxy reconnects and re-submits its in-flight
+    requests — the reference's Ray actor restart intent
+    (ray_utils/utils.py:28-169) without Ray."""
+
+    _closing = False
 
     def init_stage_worker(self) -> None:
         addr = getattr(self.config.runtime, "remote", "")
-        host, _, port = addr.rpartition(":")
+        self._supervisor = None
+        self._sock_lock = threading.Lock()
+        self._recover_lock = threading.Lock()
+        # tasks submitted but not finally answered: re-sent on recovery
+        self._inflight: dict[str, StageTask] = {}
         try:
-            deadline = time.monotonic() + 120
-            while True:
-                try:
-                    self._sock = socket.create_connection(
-                        (host or "127.0.0.1", int(port)), timeout=5)
-                    break
-                except OSError:
-                    if time.monotonic() > deadline:
-                        raise
-                    time.sleep(0.2)
-            self._sock_lock = threading.Lock()
-            hello = _recv(self._sock)
-            if hello.get("type") != "ready":
-                raise RuntimeError(f"stage host not ready: {hello}")
+            if addr == "auto" or addr.startswith("auto:"):
+                from vllm_omni_tpu.stages.supervisor import (
+                    StageHostSupervisor,
+                )
+
+                platform = addr.partition(":")[2]
+                self._supervisor = StageHostSupervisor(
+                    self.config, platform=platform)
+                addr = self._supervisor.start()
+            self._connect(addr)
         except BaseException as e:
             self.init_error = e
             self.ready.set()
@@ -93,20 +101,46 @@ class RemoteStage(OmniStage):
         th.start()
         self.ready.set()
 
-    def submit(self, task: StageTask) -> None:
+    def _connect(self, addr: str) -> None:
+        host, _, port = addr.rpartition(":")
+        deadline = time.monotonic() + 120
+        while True:
+            try:
+                sock = socket.create_connection(
+                    (host or "127.0.0.1", int(port)), timeout=5)
+                break
+            except OSError:
+                if time.monotonic() > deadline:
+                    raise
+                time.sleep(0.2)
+        hello = _recv(sock)
+        if hello.get("type") != "ready":
+            raise RuntimeError(f"stage host not ready: {hello}")
+        self._sock = sock
+
+    def _task_msg(self, task: StageTask) -> dict:
         sp = task.sampling_params
-        with self._sock_lock:
-            _send(self._sock, {
-                "type": "task",
-                "request_id": task.request_id,
-                "prompt": task.prompt,
-                "sampling_params": sp.__dict__ if sp is not None else None,
-                "diffusion_kwargs": task.diffusion_kwargs,
-                "stream": task.stream,
-            })
+        return {
+            "type": "task",
+            "request_id": task.request_id,
+            "prompt": task.prompt,
+            "sampling_params": sp.__dict__ if sp is not None else None,
+            "diffusion_kwargs": task.diffusion_kwargs,
+            "stream": task.stream,
+        }
+
+    def submit(self, task: StageTask) -> None:
+        self._inflight[task.request_id] = task
+        try:
+            with self._sock_lock:
+                _send(self._sock, self._task_msg(task))
+        except (ConnectionError, OSError):
+            if not self._recover():
+                raise
 
     def abort(self, request_id: str) -> None:
         """Propagate the abort to the stage-host process."""
+        self._inflight.pop(request_id, None)
         try:
             with self._sock_lock:
                 _send(self._sock, {"type": "abort",
@@ -114,27 +148,77 @@ class RemoteStage(OmniStage):
         except (OSError, AttributeError):
             pass
 
-    def _reader(self) -> None:
+    def ping(self, timeout: float = 5.0) -> bool:
+        """Health check over the protocol (answered between tasks by the
+        host's control loop; the pong arrives on the reader)."""
         try:
-            while True:
-                msg = _recv(self._sock)
-                if msg.get("type") != "result":
-                    continue
-                m = None
-                if msg.get("metrics"):
-                    m = StageRequestMetrics(**msg["metrics"])
-                self.out_q.put(StageOutput(
-                    request_id=msg["request_id"], stage_id=self.stage_id,
-                    output=msg.get("output"), metrics=m,
-                    error=msg.get("error"),
-                    partial=bool(msg.get("partial")),
-                ))
+            with self._sock_lock:
+                _send(self._sock, {"type": "ping"})
+            return True
         except (ConnectionError, OSError):
-            if not self._closing:
+            return False
+
+    def _reader(self) -> None:
+        while True:
+            try:
+                msg = _recv(self._sock)
+            except (ConnectionError, OSError):
+                if self._closing:
+                    return
                 logger.warning("remote stage %d connection lost",
                                self.stage_id)
+                if not self._recover():
+                    return
+                continue
+            if msg.get("type") == "pong":
+                self._last_pong = time.monotonic()
+                continue
+            if msg.get("type") != "result":
+                continue
+            m = None
+            if msg.get("metrics"):
+                m = StageRequestMetrics(**msg["metrics"])
+            if not msg.get("partial"):
+                self._inflight.pop(msg["request_id"], None)
+            self.out_q.put(StageOutput(
+                request_id=msg["request_id"], stage_id=self.stage_id,
+                output=msg.get("output"), metrics=m,
+                error=msg.get("error"),
+                partial=bool(msg.get("partial")),
+            ))
 
-    _closing = False
+    def _recover(self) -> bool:
+        """Respawn (supervised hosts only), reconnect, re-submit every
+        in-flight request. Returns False when recovery is impossible —
+        pending requests then surface as per-request errors."""
+        if self._supervisor is None or self._closing:
+            self._fail_inflight("remote stage connection lost")
+            return False
+        with self._recover_lock:
+            try:
+                addr = self._supervisor.restart()
+                self._connect(addr)
+            except BaseException as e:
+                logger.error("stage %d host recovery failed: %s",
+                             self.stage_id, e)
+                self._fail_inflight(f"stage host recovery failed: {e}")
+                return False
+            pending = list(self._inflight.values())
+            logger.info("stage %d host recovered; re-submitting %d "
+                        "in-flight requests", self.stage_id, len(pending))
+            for task in pending:
+                try:
+                    with self._sock_lock:
+                        _send(self._sock, self._task_msg(task))
+                except (ConnectionError, OSError):
+                    return self._recover()
+            return True
+
+    def _fail_inflight(self, reason: str) -> None:
+        for rid in list(self._inflight):
+            self._inflight.pop(rid, None)
+            self.out_q.put(StageOutput(
+                request_id=rid, stage_id=self.stage_id, error=reason))
 
     def shutdown(self) -> None:
         self._closing = True
@@ -144,6 +228,8 @@ class RemoteStage(OmniStage):
             self._sock.close()
         except Exception:
             pass
+        if self._supervisor is not None:
+            self._supervisor.stop()
 
 
 def serve_stage(cfg: StageConfig, port: int, host: str = "0.0.0.0") -> None:
@@ -192,6 +278,10 @@ def serve_stage(cfg: StageConfig, port: int, host: str = "0.0.0.0") -> None:
             msg = _recv(conn)
             if msg.get("type") == "stop":
                 break
+            if msg.get("type") == "ping":
+                with send_lock:
+                    _send(conn, {"type": "pong"})
+                continue
             if msg.get("type") == "abort":
                 stage.abort(msg.get("request_id", ""))
                 continue
