@@ -1,0 +1,344 @@
+"""Flagship-shape on-chip benchmarks (VERDICT r2 Next #3).
+
+The default bench.py measures a 0.9B dense toy; these measure the
+flagship SHAPES the framework actually serves, with random weights
+(throughput is weight-content independent):
+
+  moe       Qwen3-MoE-shaped AR decode (experts resident on 1 chip,
+            routed top-k) — the Qwen3-Omni thinker is MoE, and MoE
+            decode tok/s had never been benched on-chip.
+  dit       QwenImage-scale MMDiT (40L / 3072d / 24 heads) denoise
+            step + img/s at 4 steps.
+  pipeline  Qwen3-Omni speech DAG at a 3B-thinker-ish scale: per-stage
+            tps + streaming speech TTFT.
+
+Usage: python benchmarks/flagship.py {moe|dit|pipeline}
+Each prints one JSON line; record results in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_moe() -> dict:
+    os.environ.setdefault("OMNI_TPU_PIPELINE_DEPTH", "8")
+    os.environ.setdefault("OMNI_TPU_MULTI_STEP", "16")
+    from vllm_omni_tpu.config.engine import EngineArgs
+    from vllm_omni_tpu.core.request import Request
+    from vllm_omni_tpu.engine.core import EngineCore
+    from vllm_omni_tpu.sampling_params import SamplingParams
+
+    # Qwen3-MoE shape scaled to chip HBM: 16 layers x 32 experts
+    # (top-4) x 768 moe-dim over 2048 hidden = ~5.1B resident params
+    # (~10 GB bf16), ~0.9B active per token — the A3B routing regime.
+    cfg = {
+        "architectures": ["Qwen3MoeForCausalLM"],
+        "hidden_size": 2048,
+        "num_hidden_layers": 16,
+        "num_attention_heads": 16,
+        "num_key_value_heads": 8,
+        "head_dim": 128,
+        "vocab_size": 32768,
+        "max_position_embeddings": 4096,
+        "intermediate_size": 5632,
+        "moe_intermediate_size": 768,
+        "num_experts": 32,
+        "num_experts_per_tok": 4,
+        "eos_token_id": 2,
+    }
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", 256))
+    decode = int(os.environ.get("BENCH_DECODE", 512))
+    core = EngineCore(EngineArgs(
+        model="bench-moe", hf_config=cfg, dtype="bfloat16",
+        max_num_seqs=batch, max_num_batched_tokens=4096, block_size=16,
+        num_kv_cache_blocks=batch * (prompt_len + decode + 64) // 16 + 16,
+    ).create_engine_config(), load_weights=False)
+
+    def run(tag):
+        sp = SamplingParams(temperature=0.0, max_tokens=decode,
+                            ignore_eos=True, detokenize=False)
+        for i in range(batch):
+            core.add_request(Request(
+                request_id=f"{tag}-{i}",
+                prompt_token_ids=[(7 * j + i) % 32000
+                                  for j in range(prompt_len)],
+                sampling_params=sp.clone()))
+        tokens, events = 0, []
+        while core.has_unfinished():
+            for out in core.step():
+                tokens += len(out.new_token_ids)
+            events.append((time.perf_counter(), tokens))
+
+        def at(frac):
+            for t, c in events:
+                if c >= frac * tokens:
+                    return t, c
+            return events[-1]
+
+        (t1, c1), (t2, c2) = at(0.25), at(0.95)
+        return (c2 - c1) / (t2 - t1)
+
+    run("warm")
+    vals = [run(f"r{r}") for r in range(3)]
+    return {"metric": "moe_decode_tokens_per_sec_per_chip",
+            "value": round(statistics.median(vals), 1),
+            "shape": "16L x 32E top-4, 2048h, ~5.1B resident",
+            "reps": [round(v, 1) for v in vals]}
+
+
+def bench_dit() -> dict:
+    import numpy as np
+
+    from vllm_omni_tpu.config.diffusion import OmniDiffusionConfig
+    from vllm_omni_tpu.diffusion.models.qwen_image.pipeline import (
+        QwenImagePipeline,
+    )
+    from vllm_omni_tpu.diffusion.models.qwen_image.transformer import (
+        QwenImageTransformerConfig,
+    )
+    from vllm_omni_tpu.diffusion.models.qwen_image.vae import (
+        QwenImageVAEConfig,
+    )
+    from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
+
+    px = int(os.environ.get("BENCH_DIT_PX", 1024))
+    # QwenImage-class scale: 40 dual-stream layers, 3072 hidden
+    # (24 x 128 heads) — ~8.5B transformer params
+    tf = QwenImageTransformerConfig(
+        num_layers=40, attention_head_dim=128, num_attention_heads=24,
+        joint_attention_dim=3072, in_channels=64, out_channels=16,
+        axes_dims_rope=(16, 56, 56))
+    vae = QwenImageVAEConfig(base_dim=96, z_dim=16, dim_mult=(1, 2, 4, 4),
+                             num_res_blocks=2,
+                             temperal_downsample=(False, True, True))
+    pipe = QwenImagePipeline(
+        OmniDiffusionConfig(model="bench", dtype="bfloat16"),
+        transformer_config=tf, vae_config=vae, load_weights=False)
+    rng = np.random.default_rng(0)
+
+    def run(steps):
+        req = OmniDiffusionRequest(
+            request_id="b", prompt="bench",
+            prompt_embeds=rng.normal(size=(1, 64, 3072)).astype(np.float32),
+            negative_prompt_embeds=rng.normal(
+                size=(1, 64, 3072)).astype(np.float32),
+            height=px, width=px, num_inference_steps=steps, seed=0,
+            true_cfg_scale=4.0, output_type="latent")
+        t0 = time.perf_counter()
+        lat, _ = pipe.forward(req)
+        np.asarray(lat)
+        return time.perf_counter() - t0, lat
+
+    run(2)
+    run(2)
+    t2 = min(run(2)[0] for _ in range(2))
+    t6, lat = 1e9, None
+    for _ in range(2):
+        t, lt = run(6)
+        if t < t6:
+            t6, lat = t, lt
+    step_ms = (t6 - t2) / 4 * 1000
+
+    from vllm_omni_tpu.diffusion.models.qwen_image.pipeline import (
+        unpack_latents,
+    )
+    import jax.numpy as jnp
+
+    z = unpack_latents(jnp.asarray(lat), px // 16, px // 16).astype(
+        jnp.float32)
+
+    def run_vae():
+        t0 = time.perf_counter()
+        np.asarray(pipe._decode(pipe.params["vae"], z))
+        return time.perf_counter() - t0
+
+    run_vae()
+    vae_ms = min(run_vae() for _ in range(2)) * 1000
+    return {"metric": f"dit_step_ms_{px}", "value": round(step_ms, 1),
+            "shape": "40L/3072d/24h MMDiT (~8.5B), fused batched CFG",
+            "vae_decode_ms": round(vae_ms, 1),
+            "img_per_sec_4step": round(
+                1000.0 / (step_ms * 4 + vae_ms), 3),
+            "img_per_sec_20step": round(
+                1000.0 / (step_ms * 20 + vae_ms), 3)}
+
+
+def bench_pipeline() -> dict:
+    """Speech DAG at ~3B-thinker scale: per-stage tps + speech TTFT."""
+    import numpy as np
+
+    from vllm_omni_tpu.config.engine import EngineArgs
+    from vllm_omni_tpu.config.stage import StageConfig
+    from vllm_omni_tpu.stages.omni import Omni
+
+    IM_START, SYSTEM, USER, ASSISTANT = 151644, 151645, 151646, 151647
+    TH, H = 2048, 1024
+    NQ = 8
+    OMNI_CFG = {
+        "im_start_token_id": IM_START,
+        "system_token_id": SYSTEM,
+        "user_token_id": USER,
+        "assistant_token_id": ASSISTANT,
+        "tts_bos_token_id": 151672, "tts_eos_token_id": 151673,
+        "tts_pad_token_id": 151671,
+        "thinker_config": {
+            # Qwen2.5-Omni-3B-thinker-shaped dense text tower
+            "text_config": {
+                "hidden_size": TH, "num_hidden_layers": 28,
+                "num_attention_heads": 16, "num_key_value_heads": 8,
+                "head_dim": 128, "intermediate_size": 8192,
+                "moe_intermediate_size": 768, "num_experts": 8,
+                "num_experts_per_tok": 2, "vocab_size": 32768,
+                "rope_scaling": {"mrope_section": [16, 24, 24]},
+                "max_position_embeddings": 8192,
+            },
+            "audio_config": {"d_model": 512, "encoder_layers": 4,
+                             "encoder_attention_heads": 8,
+                             "encoder_ffn_dim": 2048, "output_dim": TH,
+                             "num_mel_bins": 128, "n_window": 50,
+                             "downsample_hidden_size": 256,
+                             "conv_chunksize": 500},
+            "vision_config": {"hidden_size": 256, "depth": 4,
+                              "num_heads": 4, "intermediate_size": 1024,
+                              "patch_size": 14, "spatial_merge_size": 2,
+                              "temporal_patch_size": 2,
+                              "out_hidden_size": TH,
+                              "deepstack_visual_indexes": [0, 1]},
+        },
+        "talker_config": {
+            "num_code_groups": NQ, "thinker_hidden_size": TH,
+            "accept_hidden_layer": 18, "codec_eos_token_id": 2150,
+            "codec_pad_id": 2148, "codec_bos_id": 2149,
+            "codec_nothink_id": 2146, "codec_think_bos_id": 2147,
+            "codec_think_eos_id": 2151, "spatial_merge_size": 2,
+            "text_config": {
+                "hidden_size": H, "num_hidden_layers": 12,
+                "num_attention_heads": 8, "num_key_value_heads": 4,
+                "head_dim": 128, "intermediate_size": 4096,
+                "moe_intermediate_size": 384,
+                "shared_expert_intermediate_size": 1024,
+                "num_experts": 8, "num_experts_per_tok": 2,
+                "norm_topk_prob": False, "vocab_size": 4096,
+                "rope_scaling": {"mrope_section": [8, 12, 12]},
+                "max_position_embeddings": 8192,
+            },
+            "code_predictor_config": {
+                "hidden_size": H, "num_hidden_layers": 4,
+                "num_attention_heads": 8, "num_key_value_heads": 4,
+                "head_dim": 64, "intermediate_size": 2048,
+                "num_code_groups": NQ, "vocab_size": 2048,
+            },
+        },
+        "code2wav_config": {
+            "codebook_size": 2048, "num_quantizers": NQ,
+            "hidden_size": 512, "num_hidden_layers": 8,
+            "num_attention_heads": 8, "num_key_value_heads": 8,
+            "intermediate_size": 2048, "sliding_window": 72,
+            "max_position_embeddings": 8192, "decoder_dim": 512,
+            "upsample_rates": [5, 3], "upsampling_ratios": [2, 2],
+            "layer_scale_initial_scale": 0.01,
+        },
+    }
+    max_text = int(os.environ.get("BENCH_PIPE_TOKENS", 64))
+    cfgs = [
+        StageConfig(
+            stage_id=0, stage_type="llm",
+            engine_args=EngineArgs(
+                model="bench-thinker", hf_config=OMNI_CFG,
+                model_arch="Qwen3OmniMoeForConditionalGeneration",
+                model_stage="thinker", hf_config_name="thinker_config",
+                engine_output_type="latent", load_format="random",
+                dtype="bfloat16", max_num_seqs=4,
+                max_num_batched_tokens=2048, block_size=16,
+                num_kv_cache_blocks=512),
+            final_output=True, final_output_type="text",
+            default_sampling_params={"temperature": 0.0,
+                                     "max_tokens": max_text}),
+        StageConfig(
+            stage_id=1, stage_type="talker",
+            engine_args=EngineArgs(
+                model="bench-talker", hf_config=OMNI_CFG,
+                engine_output_type="latent", load_format="random",
+                dtype="bfloat16"),
+            engine_input_source=[0],
+            custom_process_input_func=(
+                "vllm_omni_tpu.stages.input_processors."
+                "qwen3_omni.thinker2talker"),
+            diffusion_args={"max_len": 1024, "predictor_greedy": True,
+                            "suppress_special": False},
+            default_sampling_params={"temperature": 0.0,
+                                     "max_tokens": max_text,
+                                     "repetition_penalty": 1.05}),
+        StageConfig(
+            stage_id=2, stage_type="code2wav",
+            engine_args=EngineArgs(
+                model="bench-c2w", hf_config=OMNI_CFG,
+                hf_config_name="code2wav_config",
+                engine_output_type="audio", load_format="random",
+                dtype="bfloat16"),
+            engine_input_source=[1],
+            custom_process_input_func=(
+                "vllm_omni_tpu.stages.input_processors."
+                "qwen3_omni.talker2code2wav"),
+            final_output=True, final_output_type="audio"),
+    ]
+    prompt = ([IM_START, SYSTEM] + [(11 * j) % 32000 for j in range(16)]
+              + [IM_START, USER] + [(13 * j) % 32000 for j in range(48)]
+              + [IM_START, ASSISTANT, 77])
+
+    import asyncio
+
+    from vllm_omni_tpu.stages.async_omni import AsyncOmni
+
+    omni = AsyncOmni(stage_configs=cfgs, log_stats=True)
+
+    async def one(stream):
+        t0 = time.perf_counter()
+        ttft = None
+        n_final = 0
+        async for out in omni.generate({"prompt_token_ids": prompt},
+                                       stream=stream):
+            if (stream and ttft is None and out.partial
+                    and out.stage_id == 2):
+                ttft = time.perf_counter() - t0
+            if not out.partial:
+                n_final += 1
+        return ttft, time.perf_counter() - t0, n_final
+
+    try:
+        asyncio.run(one(False))  # compile everything
+        ttfts, e2es = [], []
+        for _ in range(3):
+            ttft, e2e, nf = asyncio.run(one(True))
+            assert nf >= 2, nf
+            if ttft is not None:
+                ttfts.append(ttft)
+            e2es.append(e2e)
+        stats = omni.metrics.summary()
+        per_stage = {f"stage{sid}_tps_avg": round(ss.tps_avg, 1)
+                     for sid, ss in omni.metrics.stage_stats.items()}
+    finally:
+        omni.shutdown()
+    return {"metric": "speech_pipeline_3B_shaped",
+            "speech_ttft_s": round(min(ttfts), 3) if ttfts else None,
+            "e2e_s": round(statistics.median(e2es), 3),
+            "text_tokens": max_text, **per_stage}
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "moe"
+    out = {"moe": bench_moe, "dit": bench_dit,
+           "pipeline": bench_pipeline}[which]()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,3 +140,30 @@ def test_decode_multi_chunk_sliding_window():
         has_self=True, interpret=True, chunk_tokens=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_decode_stacked_cache_layer_index():
+    """Full [L, N, Hkv, B, D] stack + layer scalar == slicing the stack
+    outside (the kernel indexes [layer, block] itself so a layer scan
+    never copies the per-layer slice)."""
+    T, S, Hq, Hkv, D, B, MAXB, L = 4, 4, 4, 2, 64, 8, 5, 3
+    q, kc, vc, tables, seq_lens, rng = _setup(9, T, S, Hq, Hkv, D, B,
+                                              MAXB, B * MAXB)
+    kcs = jnp.stack([kc, kc * 0.5, kc + 1.0])
+    vcs = jnp.stack([vc + 2.0, vc, vc * -1.0])
+    rows = np.arange(T)
+    positions = jnp.asarray([int(seq_lens[r]) - 1 for r in rows], jnp.int32)
+    token_rows = jnp.asarray(rows, jnp.int32)
+    k_self = jnp.asarray(rng.normal(size=(T, Hkv, D)).astype(np.float32))
+    v_self = jnp.asarray(rng.normal(size=(T, Hkv, D)).astype(np.float32))
+    for li in range(L):
+        ref = decode_paged_attention(
+            q, kcs[li], vcs[li], seq_lens, tables, positions, token_rows,
+            scale=D**-0.5, k_self=k_self, v_self=v_self, has_self=True,
+            interpret=True)
+        got = decode_paged_attention(
+            q, kcs, vcs, seq_lens, tables, positions, token_rows,
+            scale=D**-0.5, k_self=k_self, v_self=v_self, has_self=True,
+            interpret=True, layer=li)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-6)

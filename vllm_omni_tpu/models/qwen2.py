@@ -207,8 +207,12 @@ class Qwen2ForCausalLM:
             if not defer_kv_write:
                 k_cache, v_cache = write_kv_auto(
                     k_cache, v_cache, li, k, v, meta.slot_mapping)
+            # the FULL cache stack + layer index goes to attention: the
+            # pallas decode kernel indexes [layer, block] itself, and a
+            # traced-index slice of the stack here would make XLA copy
+            # the whole per-layer slice every scan iteration
             attn = ragged_paged_attention(
-                q, k_cache[li], v_cache[li],
+                q, k_cache, v_cache,
                 meta.q_starts, meta.q_lens, meta.seq_lens, meta.block_tables,
                 meta.positions, meta.token_rows,
                 scale=self.scale,
@@ -216,6 +220,7 @@ class Qwen2ForCausalLM:
                 backend=attention_backend,
                 k_self=k if defer_kv_write else None,
                 v_self=v if defer_kv_write else None,
+                layer=li,
             )
             attn_out = linear(attn.reshape(T, -1), p["o_proj"])
             h = res + psum_if(attn_out, tp_axis)

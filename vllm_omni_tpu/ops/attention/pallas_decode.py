@@ -61,6 +61,7 @@ def _chunk_tokens(Hkv: int, D: int, itemsize: int, B: int,
 
 def _kernel(
     # scalar prefetch (SMEM)
+    layer_ref,  # [1] layer index into a stacked cache (0 when unstacked)
     rows_ref,  # [Tp] (clipped; padded entries = S)
     pos_ref,  # [Tp]
     seq_lens_ref,  # [S]
@@ -69,8 +70,11 @@ def _kernel(
     q_ref,  # [2, Hq, D] VMEM (token pair)
     k_self_ref,  # [2, Hkv, D] VMEM (zeros when has_self=False)
     v_self_ref,
-    k_hbm_ref,  # [N, Hkv, B, D] ANY (page-major)
-    v_hbm_ref,
+    k_hbm_ref,  # [N, Hkv, B, D] ANY (page-major), or [L, N, Hkv, B, D]
+    v_hbm_ref,  # stacked when `stacked` (the layer scan passes the FULL
+    # cache + a layer scalar: slicing a 5-D stack with a traced index
+    # inside lax.scan makes XLA materialize a per-layer COPY of the
+    # slice — at multi-GB caches that copy dominated decode)
     # outputs
     out_ref,  # [2, Hq, D] VMEM
     # scratch
@@ -85,8 +89,10 @@ def _kernel(
     has_self: bool,
     sliding_window: int,
     chunk_tokens: int,
+    stacked: bool,
 ):
     step = pl.program_id(0)
+    li = layer_ref[0]
     B = block_size
     CT = chunk_tokens
     CP = CT // B  # pages per chunk
@@ -125,13 +131,17 @@ def _kernel(
             @pl.when(j < n_pages_c)
             def _(j=j):
                 blk = tables_ref[row_c * max_blocks + base + j]
+                k_src = (k_hbm_ref.at[li, blk] if stacked
+                         else k_hbm_ref.at[blk])
+                v_src = (v_hbm_ref.at[li, blk] if stacked
+                         else v_hbm_ref.at[blk])
                 pltpu.make_async_copy(
-                    k_hbm_ref.at[blk],
+                    k_src,
                     k_buf.at[slot, buf, :, pl.ds(j * B, B), :],
                     sems.at[slot, 0, buf],
                 ).start()
                 pltpu.make_async_copy(
-                    v_hbm_ref.at[blk],
+                    v_src,
                     v_buf.at[slot, buf, :, pl.ds(j * B, B), :],
                     sems.at[slot, 1, buf],
                 ).start()
@@ -144,8 +154,6 @@ def _kernel(
         full chunk's CP page signals are drained by ONE wait with a
         chunk-sized descriptor — per-page waits were the dominant fixed
         cost of the kernel (scalar-core serialized, ~45 ns each)."""
-        blk = tables_ref[row_c * max_blocks]  # any in-bounds page: only
-        # the descriptor's byte count matters for a wait
 
         @pl.when(n_pages_c == CP)
         def _():
@@ -167,13 +175,15 @@ def _kernel(
             for j in range(CP):
                 @pl.when(j < n_pages_c)
                 def _(j=j):
+                    # page-sized dummy descriptors (VMEM src=dst; only
+                    # the byte count is consumed by a wait)
                     pltpu.make_async_copy(
-                        k_hbm_ref.at[blk],
+                        k_buf.at[slot, buf, :, pl.ds(0, B), :],
                         k_buf.at[slot, buf, :, pl.ds(0, B), :],
                         sems.at[slot, 0, buf],
                     ).wait()
                     pltpu.make_async_copy(
-                        v_hbm_ref.at[blk],
+                        v_buf.at[slot, buf, :, pl.ds(0, B), :],
                         v_buf.at[slot, buf, :, pl.ds(0, B), :],
                         sems.at[slot, 1, buf],
                     ).wait()
@@ -311,8 +321,8 @@ def _kernel(
 )
 def decode_paged_attention(
     q: jax.Array,  # [T, Hq, D]
-    k_cache: jax.Array,  # [N, Hkv, B, D] page-major
-    v_cache: jax.Array,
+    k_cache: jax.Array,  # [N, Hkv, B, D] page-major, or the FULL
+    v_cache: jax.Array,  # [L, N, Hkv, B, D] stack (then pass `layer`)
     seq_lens: jax.Array,  # [S]
     block_tables: jax.Array,  # [S, MAXB]
     positions: jax.Array,  # [T]
@@ -324,10 +334,14 @@ def decode_paged_attention(
     has_self: bool = False,
     interpret: bool = False,
     chunk_tokens: int | None = None,  # None = auto-size to VMEM budget
+    layer: jax.Array | int = 0,  # layer index for a stacked cache — the
+    # kernel indexes [layer, block] itself, so a layer scan never
+    # slices the stack (XLA would copy the slice per layer)
 ) -> jax.Array:
     T, Hq, D = q.shape
     S, MAXB = block_tables.shape
-    _, Hkv, B, _ = k_cache.shape
+    stacked = k_cache.ndim == 5
+    _, Hkv, B, _ = k_cache.shape[1:] if stacked else k_cache.shape
     if k_self is None:
         k_self = jnp.zeros((T, Hkv, D), q.dtype)
         v_self = jnp.zeros((T, Hkv, D), q.dtype)
@@ -346,7 +360,7 @@ def decode_paged_attention(
     assert CT % B == 0, (CT, B)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(Tp // 2,),
         in_specs=[
             pl.BlockSpec((2, Hq, D), lambda s, *_: (s, 0, 0)),
@@ -365,7 +379,7 @@ def decode_paged_attention(
     kernel = functools.partial(
         _kernel, scale=scale, block_size=B, max_blocks=MAXB,
         num_rows=S, has_self=has_self, sliding_window=sliding_window,
-        chunk_tokens=CT,
+        chunk_tokens=CT, stacked=stacked,
     )
     out = pl.pallas_call(
         kernel,
@@ -376,6 +390,7 @@ def decode_paged_attention(
         ),
         interpret=interpret,
     )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
         rows, pos, seq_lens, block_tables.reshape(-1),
         q, k_self, v_self, k_cache, v_cache,
     )

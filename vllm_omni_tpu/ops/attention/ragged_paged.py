@@ -337,20 +337,30 @@ def ragged_paged_attention(
     backend: Optional[str] = None,
     k_self: Optional[jax.Array] = None,
     v_self: Optional[jax.Array] = None,
+    layer=None,
 ):
     """Backend-dispatching entry point. k_self/v_self (deferred-write
     decode) route to the decode-shaped paths (pallas page streaming on
-    TPU, gather otherwise)."""
+    TPU, gather otherwise).
+
+    `k_cache`/`v_cache` may be the FULL [L, N, Hkv, B, D] stack with
+    `layer` the current layer index: the pallas decode kernel indexes
+    [layer, block] itself, so a layer scan never slices the stack —
+    slicing with a traced index makes XLA materialize a per-layer COPY
+    of the multi-hundred-MB slice (measured dominating long-context
+    decode). Other backends fall back to slicing here."""
     import os
 
     from vllm_omni_tpu import envs
+
+    stacked = k_cache.ndim == 5
 
     def _decode_pallas_ok():
         # KV-chunked (flash-decoding) kernel: constant VMEM in context
         # length, so there is no context cap (round-3; formerly gated at
         # MAXB * B <= 1024)
         D = q.shape[-1]
-        B = k_cache.shape[2]
+        B = k_cache.shape[-2]
         return (
             envs.is_tpu_platform()
             and os.environ.get("OMNI_TPU_DECODE_ATTN", "pallas") == "pallas"
@@ -369,12 +379,17 @@ def ragged_paged_attention(
                 q, k_cache, v_cache, seq_lens, block_tables, positions,
                 token_rows, scale=scale, k_self=k_self, v_self=v_self,
                 sliding_window=sliding_window, has_self=True,
+                layer=(layer if layer is not None else 0),
             )
+        if stacked:
+            k_cache, v_cache = k_cache[layer], v_cache[layer]
         return ragged_paged_attention_gather(
             q, k_cache, v_cache, q_starts, q_lens, seq_lens, block_tables,
             positions, token_rows, scale=scale, logit_cap=logit_cap,
             sliding_window=sliding_window, k_self=k_self, v_self=v_self,
         )
+    if stacked:
+        k_cache, v_cache = k_cache[layer], v_cache[layer]
     if backend is None:
         backend = envs.attention_backend()
     if backend == "auto":
