@@ -7,8 +7,8 @@ flagship SHAPES the framework actually serves, with random weights
   moe       Qwen3-MoE-shaped AR decode (experts resident on 1 chip,
             routed top-k) — the Qwen3-Omni thinker is MoE, and MoE
             decode tok/s had never been benched on-chip.
-  dit       QwenImage-scale MMDiT (40L / 3072d / 24 heads) denoise
-            step + img/s at 4 steps.
+  dit       QwenImage-scale MMDiT (3072d / 24 heads at the deepest
+            depth that fits one chip) denoise step + img/s at 4 steps.
   pipeline  Qwen3-Omni speech DAG at a 3B-thinker-ish scale: per-stage
             tps + streaming speech TTFT.
 
@@ -109,18 +109,24 @@ def bench_dit() -> dict:
     )
     from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
 
-    px = int(os.environ.get("BENCH_DIT_PX", 1024))
-    # QwenImage-class scale: 40 dual-stream layers, 3072 hidden
-    # (24 x 128 heads) — ~8.5B transformer params
+    px = int(os.environ.get("BENCH_DIT_PX", 512))
+    # QwenImage-class hidden size (3072 = 24 x 128 heads) at the deepest
+    # layer count that fits one v5e chip: one dual-stream 3072d block is
+    # ~340M params (0.68 GB bf16), so 40L/3072d is ~27 GB — beyond the
+    # 16 GB HBM of v5e-1; serving that model needs TP over >=2 chips
+    # (the multichip dryrun covers that path). 16L (~5.5B) fits.
+    layers = int(os.environ.get("BENCH_DIT_LAYERS", 16))
     tf = QwenImageTransformerConfig(
-        num_layers=40, attention_head_dim=128, num_attention_heads=24,
+        num_layers=layers, attention_head_dim=128, num_attention_heads=24,
         joint_attention_dim=3072, in_channels=64, out_channels=16,
         axes_dims_rope=(16, 56, 56))
     vae = QwenImageVAEConfig(base_dim=96, z_dim=16, dim_mult=(1, 2, 4, 4),
                              num_res_blocks=2,
                              temperal_downsample=(False, True, True))
+    vae_dtype = os.environ.get("BENCH_VAE_DTYPE", "float32")
     pipe = QwenImagePipeline(
-        OmniDiffusionConfig(model="bench", dtype="bfloat16"),
+        OmniDiffusionConfig(model="bench", dtype="bfloat16",
+                            vae_dtype=vae_dtype),
         transformer_config=tf, vae_config=vae, load_weights=False)
     rng = np.random.default_rng(0)
 
@@ -153,7 +159,7 @@ def bench_dit() -> dict:
     import jax.numpy as jnp
 
     z = unpack_latents(jnp.asarray(lat), px // 16, px // 16).astype(
-        jnp.float32)
+        pipe.vae.dtype)
 
     def run_vae():
         t0 = time.perf_counter()
@@ -163,7 +169,7 @@ def bench_dit() -> dict:
     run_vae()
     vae_ms = min(run_vae() for _ in range(2)) * 1000
     return {"metric": f"dit_step_ms_{px}", "value": round(step_ms, 1),
-            "shape": "40L/3072d/24h MMDiT (~8.5B), fused batched CFG",
+            "shape": f"{layers}L/3072d/24h MMDiT, fused batched CFG",
             "vae_decode_ms": round(vae_ms, 1),
             "img_per_sec_4step": round(
                 1000.0 / (step_ms * 4 + vae_ms), 3),
@@ -333,10 +339,87 @@ def bench_pipeline() -> dict:
             "text_tokens": max_text, **per_stage}
 
 
+def bench_video() -> dict:
+    """Wan2.2-TI2V-5B-shaped T2V denoise step at 720p + temporal VAE
+    decode (VERDICT r2 Next #9: the flash kernel microbenches existed,
+    but no video-resolution denoise step had ever been timed)."""
+    import numpy as np
+
+    from vllm_omni_tpu.config.diffusion import OmniDiffusionConfig
+    from vllm_omni_tpu.diffusion.models.qwen_image.vae import (
+        QwenImageVAEConfig,
+    )
+    from vllm_omni_tpu.diffusion.models.wan2_2.pipeline import WanPipeline
+    from vllm_omni_tpu.diffusion.models.wan2_2.transformer import (
+        WanTransformerConfig,
+    )
+    from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
+
+    h = int(os.environ.get("BENCH_VIDEO_H", 704))
+    w = int(os.environ.get("BENCH_VIDEO_W", 1280))
+    frames = int(os.environ.get("BENCH_VIDEO_FRAMES", 21))
+    # TI2V-5B shape: 3072 dim (24 x 128), 30 layers, ffn 14336 (~5B)
+    tf = WanTransformerConfig(
+        num_attention_heads=24, attention_head_dim=128, num_layers=30,
+        ffn_dim=14336, text_dim=4096)
+    vae = QwenImageVAEConfig(base_dim=96, z_dim=16, dim_mult=(1, 2, 4, 4),
+                             num_res_blocks=2,
+                             temperal_downsample=(False, True, True))
+    pipe = WanPipeline(
+        OmniDiffusionConfig(model="bench", dtype="bfloat16",
+                            vae_dtype=os.environ.get(
+                                "BENCH_VAE_DTYPE", "float32")),
+        transformer_config=tf, vae_config=vae, load_weights=False)
+    rng = np.random.default_rng(0)
+
+    def run(steps):
+        req = OmniDiffusionRequest(
+            request_id="v", prompt="bench",
+            prompt_embeds=rng.normal(size=(1, 64, 4096)).astype(np.float32),
+            negative_prompt_embeds=rng.normal(
+                size=(1, 64, 4096)).astype(np.float32),
+            height=h, width=w, num_frames=frames,
+            num_inference_steps=steps, seed=0, guidance_scale=5.0,
+            output_type="latent")
+        t0 = time.perf_counter()
+        lat, _ = pipe.forward(req)
+        np.asarray(lat)
+        return time.perf_counter() - t0, lat
+
+    run(1)
+    t1 = min(run(1)[0] for _ in range(2))
+    t3, lat = 1e9, None
+    for _ in range(2):
+        t, lt = run(3)
+        if t < t3:
+            t3, lat = t, lt
+    step_ms = (t3 - t1) / 2 * 1000
+    lat = np.asarray(lat)
+
+    import jax.numpy as jnp
+
+    z = jnp.asarray(lat, pipe.vae.dtype)
+
+    def run_vae():
+        t0 = time.perf_counter()
+        np.asarray(pipe._decode(pipe.params["vae"], z))
+        return time.perf_counter() - t0
+
+    run_vae()
+    vae_ms = min(run_vae() for _ in range(2)) * 1000
+    lat_tokens = (lat.shape[2] * (lat.shape[3] // 2)
+                  * (lat.shape[4] // 2))
+    return {"metric": f"wan_t2v_step_ms_{h}x{w}x{frames}f",
+            "value": round(step_ms, 1),
+            "shape": "30L/3072d/24h Wan DiT (~5B), CFG batched",
+            "seq_tokens": int(lat_tokens),
+            "temporal_vae_decode_ms": round(vae_ms, 1)}
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "moe"
     out = {"moe": bench_moe, "dit": bench_dit,
-           "pipeline": bench_pipeline}[which]()
+           "pipeline": bench_pipeline, "video": bench_video}[which]()
     print(json.dumps(out))
 
 

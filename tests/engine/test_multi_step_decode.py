@@ -89,3 +89,47 @@ def test_block_boundary_crossing():
     single = _run(1, sp, n_req=2, prompt_len=6)
     fused = _run(7, sp, n_req=2, prompt_len=6)
     assert fused == single
+
+
+MOE_CFG = {
+    "architectures": ["Qwen3MoeForCausalLM"],
+    "hidden_size": 64, "num_hidden_layers": 2,
+    "num_attention_heads": 4, "num_key_value_heads": 2,
+    "head_dim": 16, "vocab_size": 128, "max_position_embeddings": 256,
+    "intermediate_size": 128, "moe_intermediate_size": 32,
+    "num_experts": 4, "num_experts_per_tok": 2, "eos_token_id": 127,
+}
+
+
+def _run_moe(multi_step, seed=0):
+    args = EngineArgs(
+        model="t-moe", hf_config=MOE_CFG, dtype="float32", max_num_seqs=4,
+        max_num_batched_tokens=64, block_size=8, num_kv_cache_blocks=64,
+        multi_step_decode=multi_step)
+    core = EngineCore(args.create_engine_config(), load_weights=False,
+                      pipeline_depth=2)
+    rng = np.random.default_rng(seed)
+    for i in range(3):
+        core.add_request(Request(
+            request_id=f"r{i}",
+            prompt_token_ids=[int(x) for x in rng.integers(0, 100, 9 + i)],
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=11, ignore_eos=True,
+                detokenize=False)))
+    results = {}
+    toks = {}
+    for _ in range(400):
+        for out in core.step():
+            toks.setdefault(out.request_id, []).extend(out.new_token_ids)
+            if out.finished:
+                results[out.request_id] = toks[out.request_id]
+        if len(results) == 3:
+            break
+    assert len(results) == 3
+    return results
+
+
+def test_moe_multi_step_matches_single_step():
+    """MoE deferred-write decode windows (round-3: the flagship thinker
+    backbone) produce the same greedy tokens as single-step."""
+    assert _run_moe(4) == _run_moe(1)

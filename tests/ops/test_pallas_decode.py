@@ -167,3 +167,31 @@ def test_decode_stacked_cache_layer_index():
             interpret=True, layer=li)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-6)
+
+
+def test_decode_fp8_kv_cache():
+    """fp8 (e4m3) KV pages stream as raw bytes and upcast in VMEM; the
+    result matches the gather path reading the same fp8 cache."""
+    T, S, Hq, Hkv, D, B, MAXB = 4, 4, 4, 2, 64, 8, 5
+    q, kc, vc, tables, seq_lens, rng = _setup(11, T, S, Hq, Hkv, D, B,
+                                              MAXB, B * MAXB)
+    q = q.astype(jnp.bfloat16)
+    kc8 = kc.astype(jnp.float8_e4m3fn)
+    vc8 = vc.astype(jnp.float8_e4m3fn)
+    rows = np.arange(T)
+    positions = jnp.asarray([int(seq_lens[r]) - 1 for r in rows], jnp.int32)
+    token_rows = jnp.asarray(rows, jnp.int32)
+    k_self = jnp.asarray(rng.normal(size=(T, Hkv, D)),
+                         jnp.bfloat16)
+    v_self = jnp.asarray(rng.normal(size=(T, Hkv, D)),
+                         jnp.bfloat16)
+    ref = ragged_paged_attention_gather(
+        q, kc8, vc8, None, None, seq_lens, tables, positions, token_rows,
+        scale=D**-0.5, k_self=k_self, v_self=v_self)
+    got = decode_paged_attention(
+        q, kc8, vc8, seq_lens, tables, positions, token_rows,
+        scale=D**-0.5, k_self=k_self, v_self=v_self, has_self=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=4e-2, rtol=4e-2)

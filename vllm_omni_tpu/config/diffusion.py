@@ -82,6 +82,10 @@ class OmniDiffusionConfig:
     # VAE memory knobs (reference data.py:237-455).
     vae_use_slicing: bool = False
     vae_use_tiling: bool = False
+    # VAE compute dtype: f32 default (quality parity with the
+    # reference's default); "bfloat16" roughly halves decode time on
+    # TPU (bandwidth/pass-precision bound) at ~1e-2 image error
+    vae_dtype: Any = "float32"
     # LoRA (reference data.py:282-286): fused into base weights at load
     # (see diffusion/lora.py) — zero hot-path cost.
     lora_path: Optional[str] = None
@@ -107,6 +111,7 @@ class OmniDiffusionConfig:
 
     def __post_init__(self) -> None:
         self.dtype = resolve_dtype(self.dtype)
+        self.vae_dtype = resolve_dtype(self.vae_dtype)
         if isinstance(self.parallel_config, dict):
             self.parallel_config = DiffusionParallelConfig(**self.parallel_config)
         if isinstance(self.cache_config, dict):

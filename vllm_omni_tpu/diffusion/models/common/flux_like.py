@@ -118,8 +118,9 @@ class FluxLikeTransformer2DModel:
         ks = iter(jax.random.split(rng, 32))
 
         def w(*shape, scale=0.02):
-            return (jax.random.normal(next(ks), shape, jnp.float32) * scale
-                    ).astype(dt)
+            # direct-dtype generation: an f32 stacked intermediate is a
+            # multi-GB transient at real scale (see wan2_2/transformer.py)
+            return jax.random.normal(next(ks), shape, dt) * scale
 
         def lin(n, i, o):
             if n == 0:

@@ -92,7 +92,8 @@ class QwenImagePipeline:
         v_cfg = vae_config or self._subfolder_config(
             od_config.model, "vae", QwenImageVAEConfig)
         self.transformer = QwenImageTransformer2DModel(tf_cfg, self.dtype)
-        self.vae = AutoencoderKLQwenImage(v_cfg, jnp.float32)
+        self.vae = AutoencoderKLQwenImage(
+            v_cfg, getattr(od_config, 'vae_dtype', jnp.float32))
         # spatial compression = one 2x downsample per non-final stage
         self.vae_scale_factor = 2 ** (len(v_cfg.dim_mult) - 1)
         self.text_encoder = text_encoder
@@ -138,7 +139,8 @@ class QwenImagePipeline:
             load_qwen_image_vae_weights,
         )
 
-        return load_qwen_image_vae_weights(path, self.vae.cfg, jnp.float32)
+        return load_qwen_image_vae_weights(path, self.vae.cfg,
+                                          self.vae.dtype)
 
     # ----------------------------------------------------------- prompts
     def encode_prompt(self, prompts: list[str]):
@@ -322,12 +324,13 @@ class QwenImagePipeline:
 
         # ---- VAE decode with latents mean/std un-normalization
         t0 = time.perf_counter()
-        z = unpack_latents(latents, grid_h, grid_w).astype(jnp.float32)
+        z = unpack_latents(latents, grid_h, grid_w).astype(
+            self.vae.dtype)
         vcfg = self.vae.cfg
         if vcfg.latents_mean is not None:
-            mean = jnp.asarray(vcfg.latents_mean, jnp.float32).reshape(
+            mean = jnp.asarray(vcfg.latents_mean, self.vae.dtype).reshape(
                 1, vcfg.z_dim, 1, 1, 1)
-            std = jnp.asarray(vcfg.latents_std, jnp.float32).reshape(
+            std = jnp.asarray(vcfg.latents_std, self.vae.dtype).reshape(
                 1, vcfg.z_dim, 1, 1, 1)
             z = z * std + mean
         image = self._decode(self.params["vae"], z)  # [B,3,1,H,W]
@@ -439,9 +442,9 @@ class QwenImageLayeredPipeline(QwenImagePipeline):
         z = self.vae.encode(self.params["vae"], img[:, :, None])
         vcfg = self.vae.cfg
         if vcfg.latents_mean is not None:
-            mean = jnp.asarray(vcfg.latents_mean, jnp.float32).reshape(
+            mean = jnp.asarray(vcfg.latents_mean, self.vae.dtype).reshape(
                 1, vcfg.z_dim, 1, 1, 1)
-            std = jnp.asarray(vcfg.latents_std, jnp.float32).reshape(
+            std = jnp.asarray(vcfg.latents_std, self.vae.dtype).reshape(
                 1, vcfg.z_dim, 1, 1, 1)
             z = (z - mean) / std
         return pack_latents(z.astype(self.dtype))

@@ -85,7 +85,9 @@ class QwenImageTransformer2DModel:
         k = iter(jax.random.split(rng, 40))
 
         def w(shape, scale=0.02):
-            return (jax.random.normal(next(k), shape, jnp.float32) * scale).astype(dt)
+            # direct-dtype generation: an f32 stacked intermediate is a
+            # multi-GB transient at real scale (see wan2_2/transformer.py)
+            return jax.random.normal(next(k), shape, dt) * scale
 
         def lin(i, o, layers=True):
             if layers:

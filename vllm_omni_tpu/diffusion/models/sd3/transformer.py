@@ -108,8 +108,8 @@ class SD3Transformer2DModel:
         ks = iter(jax.random.split(k, 24))
 
         def w(*shape, scale=0.02):
-            return (jax.random.normal(next(ks), shape, jnp.float32) * scale
-                    ).astype(dt)
+            # direct-dtype generation (no f32 stacked transient)
+            return jax.random.normal(next(ks), shape, dt) * scale
 
         def lin(i, o):
             if n == 0:
@@ -155,8 +155,8 @@ class SD3Transformer2DModel:
         ks = iter(jax.random.split(rng, 16))
 
         def w(*shape, scale=0.02):
-            return (jax.random.normal(next(ks), shape, jnp.float32) * scale
-                    ).astype(dt)
+            # direct-dtype generation (no f32 stacked transient)
+            return jax.random.normal(next(ks), shape, dt) * scale
 
         pos = sincos_pos_embed_2d(
             dim, c.pos_embed_max_size, c.pos_embed_max_size)

@@ -80,7 +80,8 @@ class WanPipeline:
         if od_config.flow_shift is not None:
             self.scheduler_config["shift"] = od_config.flow_shift
         self.transformer = WanTransformer3DModel(tf_cfg, self.dtype)
-        self.vae = AutoencoderKLQwenImage(v_cfg, jnp.float32)
+        self.vae = AutoencoderKLQwenImage(
+            v_cfg, getattr(od_config, 'vae_dtype', jnp.float32))
         self.vae_scale_factor_spatial = 2 ** sum(
             1 for _ in v_cfg.dim_mult[1:])
         self.vae_scale_factor_temporal = 2 ** sum(

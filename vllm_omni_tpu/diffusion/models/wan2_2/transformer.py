@@ -128,8 +128,11 @@ class WanTransformer3DModel:
         ks = iter(jax.random.split(rng, 48))
 
         def w(*shape, scale=0.02):
-            return (jax.random.normal(next(ks), shape, jnp.float32) * scale
-                    ).astype(dt)
+            # generate directly in the model dtype: an f32 stacked-layer
+            # intermediate here is a multi-GB HBM transient at real model
+            # scale (30L fc1 stack f32 = 5.3 GB) and was the difference
+            # between a 5B model initializing or OOMing on v5e-1
+            return jax.random.normal(next(ks), shape, dt) * scale
 
         def lin(i, o, layers=True):
             if layers:

@@ -112,8 +112,8 @@ class ZImageTransformer2DModel:
         ks = iter(jax.random.split(k, 16))
 
         def w(*shape, scale=0.02):
-            return (jax.random.normal(next(ks), shape, jnp.float32) * scale
-                    ).astype(dt)
+            # direct-dtype generation (no f32 stacked transient)
+            return jax.random.normal(next(ks), shape, dt) * scale
 
         def lin(i, o, bias=False):
             p = {"w": w(n, i, o) if n else w(i, o)}
@@ -144,8 +144,8 @@ class ZImageTransformer2DModel:
         ks = iter(jax.random.split(rng, 16))
 
         def w(*shape, scale=0.02):
-            return (jax.random.normal(next(ks), shape, jnp.float32) * scale
-                    ).astype(dt)
+            # direct-dtype generation (no f32 stacked transient)
+            return jax.random.normal(next(ks), shape, dt) * scale
 
         ada = min(dim, ADALN_DIM)
         return {

@@ -75,7 +75,9 @@ class Qwen2ForCausalLM:
         keys = jax.random.split(rng, 12)
 
         def w(key, *shape, scale=0.02):
-            return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dt)
+            # direct-dtype generation: f32 stacked-layer intermediates
+            # are multi-GB HBM transients at real model scale
+            return jax.random.normal(key, shape, dt) * scale
 
         L, H, Hq, Hkv, D, I, V = (
             self.L, self.H, self.Hq, self.Hkv, self.D, self.I, self.V,

@@ -52,7 +52,10 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
         keys = jax.random.split(jax.random.fold_in(rng, 7), 4)
 
         def w(key, *shape, scale=0.02):
-            return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dt)
+            # direct-dtype generation: the stacked expert tensors are the
+            # largest arrays in the repo — an f32 intermediate doubles
+            # their init footprint
+            return jax.random.normal(key, shape, dt) * scale
 
         layers["router"] = w(keys[0], L, H, E)
         layers["experts_gate"] = w(keys[1], L, E, H, I)
@@ -83,6 +86,7 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
         tp_axis: Optional[str] = None,
         ep_axis: Optional[str] = None,
         deepstack_embeds: Optional[jax.Array] = None,  # [n_levels, T, H]
+        defer_kv_write: bool = False,
     ) -> tuple[jax.Array, dict[str, jax.Array]]:
         from vllm_omni_tpu.parallel.sharding import psum_if
 
@@ -103,9 +107,19 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
 
         cap_idx = self.capture_layer
 
+        k_cache_in, v_cache_in = kv_cache["k"], kv_cache["v"]
+
         def layer(carry, xs):
             h, cap = carry if cap_idx is not None else (carry, None)
-            p, k_c, v_c, ds_l, li = xs
+            if defer_kv_write:
+                # decode windows: the layer scan never touches the cache
+                # (read-only closure; per-layer K/V stack out as small
+                # ys; ONE in-place pallas commit per step outside) —
+                # see Qwen2ForCausalLM.forward docstring
+                p, ds_l, li = xs
+                k_c, v_c = k_cache_in, v_cache_in
+            else:
+                p, k_c, v_c, ds_l, li = xs
             res = h
             h_n = rms_norm(h, p["input_layernorm"], self.eps)
             q = linear(h_n, p["q_proj"]).reshape(T, -1, self.D)
@@ -120,13 +134,17 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
                 interleaved=self.mrope_interleaved,
                 theta=self.theta,
             )
-            k_c, v_c = write_kv(k_c, v_c, k, v, meta.slot_mapping)
+            if not defer_kv_write:
+                k_c, v_c = write_kv(k_c, v_c, k, v, meta.slot_mapping)
             attn = ragged_paged_attention(
                 q, k_c, v_c,
                 meta.q_starts, meta.q_lens, meta.seq_lens, meta.block_tables,
                 meta.positions, meta.token_rows,
                 scale=self.scale,
                 backend=attention_backend,
+                k_self=k if defer_kv_write else None,
+                v_self=v if defer_kv_write else None,
+                layer=li if defer_kv_write else None,
             )
             h = res + psum_if(
                 linear(attn.reshape(T, -1), p["o_proj"]), tp_axis)
@@ -148,20 +166,28 @@ class Qwen3MoeForCausalLM(Qwen2ForCausalLM):
             h = res + moe_out
             if deepstack_embeds is not None:
                 h = h + ds_l
+            ys = (k, v) if defer_kv_write else (k_c, v_c)
             if cap_idx is not None:
                 # HF hidden_states[cap_idx] = input to layer cap_idx =
                 # output of layer cap_idx-1 (incl. its deepstack add)
                 cap = jnp.where(li == cap_idx - 1, h, cap)
-                return (h, cap), (k_c, v_c)
-            return h, (k_c, v_c)
+                return (h, cap), ys
+            return h, ys
 
-        xs = (lp, kv_cache["k"], kv_cache["v"], ds, jnp.arange(self.L))
+        if defer_kv_write:
+            xs = (lp, ds, jnp.arange(self.L))
+        else:
+            xs = (lp, kv_cache["k"], kv_cache["v"], ds, jnp.arange(self.L))
         if cap_idx is not None:
             cap0 = hidden if cap_idx == 0 else jnp.zeros_like(hidden)
-            (hidden, captured), (new_k, new_v) = jax.lax.scan(
+            (hidden, captured), (yk, yv) = jax.lax.scan(
                 layer, (hidden, cap0), xs)
             hidden = rms_norm(hidden, params["norm"], self.eps)
-            return hidden, {"k": new_k, "v": new_v}, captured
-        hidden, (new_k, new_v) = jax.lax.scan(layer, hidden, xs)
+            if defer_kv_write:
+                return hidden, {"k_new": yk, "v_new": yv}, captured
+            return hidden, {"k": yk, "v": yv}, captured
+        hidden, (yk, yv) = jax.lax.scan(layer, hidden, xs)
         hidden = rms_norm(hidden, params["norm"], self.eps)
-        return hidden, {"k": new_k, "v": new_v}
+        if defer_kv_write:
+            return hidden, {"k_new": yk, "v_new": yv}
+        return hidden, {"k": yk, "v": yv}

@@ -197,6 +197,11 @@ def _kernel(
         """Online-softmax fold of chunk c (already resident in `buf`)."""
         k_c = k_buf[slot, buf]  # [Hkv, CT, D]
         v_c = v_buf[slot, buf]
+        if k_c.dtype != q_ref.dtype:
+            # narrow KV cache (fp8 e4m3): pages stream as raw fp8 bytes
+            # (half the HBM traffic) and upcast here in VMEM
+            k_c = k_c.astype(q_ref.dtype)
+            v_c = v_c.astype(q_ref.dtype)
         scores = jax.lax.dot_general(
             qg, k_c, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,

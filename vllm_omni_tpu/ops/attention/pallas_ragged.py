@@ -33,6 +33,7 @@ NEG_INF = -1e30
 
 def _kernel(
     # scalar prefetch (SMEM)
+    layer_ref,  # [1] layer index into a stacked cache (0 when unstacked)
     q_starts_ref,  # [S]
     q_lens_ref,  # [S]
     seq_lens_ref,  # [S]
@@ -58,7 +59,9 @@ def _kernel(
     num_seqs: int,
     logit_cap: float,
     sliding_window: int,
+    stacked: bool,
 ):
+    li = layer_ref[0]
     qc = pl.program_id(0)
     h = pl.program_id(1)
     _, TQ, GD = q_ref.shape
@@ -85,8 +88,10 @@ def _kernel(
     kv_off = jax.lax.broadcasted_iota(jnp.int32, (R, B), 1)
 
     def get_dma(kv, buf_slot, cache_ref, buf, blk):
+        src = (cache_ref.at[li, blk, h] if stacked
+               else cache_ref.at[blk, h])  # contiguous [B, D] page
         return pltpu.make_async_copy(
-            cache_ref.at[blk, h],  # contiguous [B, D] page
+            src,
             buf.at[buf_slot],
             sems.at[kv, buf_slot],
         )
@@ -160,7 +165,8 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "logit_cap", "sliding_window", "q_tile", "interpret"),
+    static_argnames=("scale", "logit_cap", "sliding_window", "q_tile",
+                     "interpret"),
 )
 def ragged_paged_attention_pallas(
     q: jax.Array,  # [T, Hq, D]
@@ -177,9 +183,13 @@ def ragged_paged_attention_pallas(
     sliding_window: int = 0,
     q_tile: int = 128,
     interpret: bool = False,
+    layer: jax.Array | int = 0,  # layer index for a stacked cache (the
+    # kernel indexes [layer, block] itself; slicing a stack with a
+    # traced index under a layer scan makes XLA copy the slice)
 ) -> jax.Array:
     T, Hq, D = q.shape
-    Nblk, Hkv, B, _ = k_cache.shape
+    stacked = k_cache.ndim == 5
+    Nblk, Hkv, B, _ = k_cache.shape[1:] if stacked else k_cache.shape
     S, MAXB = block_tables.shape
     G = Hq // Hkv
     TQ = min(q_tile, T)
@@ -188,7 +198,7 @@ def ragged_paged_attention_pallas(
     R = TQ * G
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(num_tiles, Hkv),
         in_specs=[
             pl.BlockSpec(
@@ -220,6 +230,7 @@ def ragged_paged_attention_pallas(
         num_seqs=S,
         logit_cap=logit_cap,
         sliding_window=sliding_window,
+        stacked=stacked,
     )
 
     # GQA layout: q heads of kv group h are adjacent (i // G == h); fold the
@@ -235,6 +246,7 @@ def ragged_paged_attention_pallas(
         ),
         interpret=interpret,
     )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
         q_starts.astype(jnp.int32),
         q_lens.astype(jnp.int32),
         seq_lens.astype(jnp.int32),

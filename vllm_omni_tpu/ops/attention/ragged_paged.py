@@ -315,7 +315,7 @@ def _pallas_supported(q, k_cache) -> bool:
     falls back to the XLA reference (e.g. tiny test models with
     head_dim < 128)."""
     D = q.shape[-1]
-    B = k_cache.shape[2]
+    B = k_cache.shape[-2]
     # narrow-dtype caches (fp8 KV) read through the XLA/gather paths,
     # which upcast on load; the pallas kernel dots VMEM tiles directly
     return D % 128 == 0 and B % 8 == 0 and k_cache.dtype == q.dtype
@@ -361,11 +361,15 @@ def ragged_paged_attention(
         # MAXB * B <= 1024)
         D = q.shape[-1]
         B = k_cache.shape[-2]
+        # fp8 (e4m3) KV: pages stream as raw fp8 bytes (half the HBM
+        # traffic) and upcast inside the kernel
+        dtype_ok = (k_cache.dtype == q.dtype
+                    or k_cache.dtype == jnp.float8_e4m3fn)
         return (
             envs.is_tpu_platform()
             and os.environ.get("OMNI_TPU_DECODE_ATTN", "pallas") == "pallas"
             and D % 128 == 0 and B % 8 == 0
-            and k_cache.dtype == q.dtype
+            and dtype_ok
             and logit_cap == 0.0
         )
 
@@ -388,8 +392,6 @@ def ragged_paged_attention(
             positions, token_rows, scale=scale, logit_cap=logit_cap,
             sliding_window=sliding_window, k_self=k_self, v_self=v_self,
         )
-    if stacked:
-        k_cache, v_cache = k_cache[layer], v_cache[layer]
     if backend is None:
         backend = envs.attention_backend()
     if backend == "auto":
@@ -401,20 +403,25 @@ def ragged_paged_attention(
             "OMNI_TPU_GATHER_ATTN_MAX_T", _GATHER_MAX_T_DEFAULT))
         if q.shape[0] <= max_t:
             backend = "gather"
-    if backend == "gather":
-        return ragged_paged_attention_gather(
-            q, k_cache, v_cache, q_starts, q_lens, seq_lens, block_tables,
-            positions, token_rows, scale=scale, logit_cap=logit_cap,
-            sliding_window=sliding_window,
-        )
     if backend == "pallas" and not _pallas_supported(q, k_cache):
         backend = "xla"
     if backend == "pallas":
+        # the pallas prefill kernel also takes the stack + layer scalar
+        # directly (no slice copy under the layer scan)
         from vllm_omni_tpu.ops.attention.pallas_ragged import (
             ragged_paged_attention_pallas,
         )
 
         return ragged_paged_attention_pallas(
+            q, k_cache, v_cache, q_starts, q_lens, seq_lens, block_tables,
+            positions, token_rows, scale=scale, logit_cap=logit_cap,
+            sliding_window=sliding_window,
+            layer=(layer if layer is not None else 0),
+        )
+    if stacked:
+        k_cache, v_cache = k_cache[layer], v_cache[layer]
+    if backend == "gather":
+        return ragged_paged_attention_gather(
             q, k_cache, v_cache, q_starts, q_lens, seq_lens, block_tables,
             positions, token_rows, scale=scale, logit_cap=logit_cap,
             sliding_window=sliding_window,
