@@ -365,8 +365,13 @@ def bench_video() -> dict:
     vae = QwenImageVAEConfig(base_dim=96, z_dim=16, dim_mult=(1, 2, 4, 4),
                              num_res_blocks=2,
                              temperal_downsample=(False, True, True))
+    # phase offload (reference enable_model_cpu_offload semantics): the
+    # 10 GB DiT and the 720p streamed-VAE carry state cannot coexist in
+    # 16 GB HBM — DiT is device-resident for the denoise loop only
     pipe = WanPipeline(
         OmniDiffusionConfig(model="bench", dtype="bfloat16",
+                            dit_phase_offload=os.environ.get(
+                                "BENCH_PHASE_OFFLOAD", "1") == "1",
                             vae_dtype=os.environ.get(
                                 "BENCH_VAE_DTYPE", "float32")),
         transformer_config=tf, vae_config=vae, load_weights=False)

@@ -100,6 +100,13 @@ class OmniDiffusionConfig:
     text_encoder_cpu_offload: bool = False
     image_encoder_cpu_offload: bool = False
     vae_cpu_offload: bool = False
+    # Phase offload (diffusers enable_model_cpu_offload semantics, the
+    # reference's default serving mode for big models): the DiT lives
+    # host-side and is device_put ONCE per request for the denoise loop,
+    # then dropped before VAE decode — denoise runs full speed, and the
+    # VAE gets the DiT's HBM. On v5e-1 this is what lets a 5B Wan DiT
+    # and the 720p streamed VAE decode share one 16 GB chip.
+    dit_phase_offload: bool = False
     # Wan2.2 MoE-DiT knobs.
     boundary_ratio: Optional[float] = None
     flow_shift: Optional[float] = None

@@ -7,9 +7,14 @@ single-head spatial attention mid-block, nearest-exact 2x spatial
 up/downsampling, quant/post-quant 1x1 convs, per-channel latents
 mean/std normalization handled by the pipeline.
 
-The reference's feature-cache streaming (chunked temporal decode) is an
-orthogonal memory optimization and is not replicated; slicing/tiling are
-handled at the pipeline level when enabled.
+Streaming temporal decode (`decode_streamed`) is the TPU-native
+equivalent of the reference's feat_cache chunked decode
+(autoencoder_kl_qwenimage.py:700-780 `_decode` with `feat_cache`):
+every temporal op in the decoder is causal (left-only time padding), so
+decoding latent frames chunk-by-chunk with each conv carrying its last
+2 input frames is EXACT — and peak activation memory is bounded by one
+chunk's frames instead of the whole video (a 21-frame 720p f32 decode
+is a 44 GB single-shot program; streamed it is ~2 GB per chunk).
 
 Layout: NCDHW to match weight semantics; XLA lays out convs for TPU.
 """
@@ -186,10 +191,126 @@ def mid_block(x, p):
     return x
 
 
+# -------------------------------------------------- streaming (decode)
+# Stateful variants of the temporal ops: each carries its last
+# 2*pt input frames so chunked decode is bit-equivalent to single-shot
+# (the zero left-pad of chunk 0 IS the zero initial carry).
+
+
+def causal_conv3d_stream(x, w, b, carry, padding=(1, 1, 1)):
+    """Streamed causal conv: `carry` holds the previous chunk's last
+    2*pt input frames (None = first chunk = zeros). Returns
+    (out, new_carry)."""
+    pt, ph, pw = padding
+    if pt == 0 or w.shape[2] == 1:
+        return causal_conv3d(x, w, b, padding=padding), carry
+    B, C, _, H, W = x.shape
+    if carry is None:
+        carry = jnp.zeros((B, C, 2 * pt, H, W), x.dtype)
+    tin = jnp.concatenate([carry.astype(x.dtype), x], axis=2)
+    new_carry = tin[:, :, -2 * pt:]
+    tin = jnp.pad(tin, ((0, 0), (0, 0), (0, 0), (ph, ph), (pw, pw)))
+    out = jax.lax.conv_general_dilated(
+        tin, w.astype(x.dtype), window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    ) + b.astype(x.dtype)[None, :, None, None, None]
+    return out, new_carry
+
+
+def residual_block_stream(x, p, st):
+    st = st or {}
+    h = x
+    if "shortcut" in p:
+        h = causal_conv3d(x, p["shortcut"]["w"], p["shortcut"]["b"],
+                          padding=(0, 0, 0))
+    y = channel_rms_norm(x, p["norm1"])
+    y = _silu(y)
+    y, c1 = causal_conv3d_stream(y, p["conv1"]["w"], p["conv1"]["b"],
+                                 st.get("conv1"))
+    y = channel_rms_norm(y, p["norm2"])
+    y = _silu(y)
+    y, c2 = causal_conv3d_stream(y, p["conv2"]["w"], p["conv2"]["b"],
+                                 st.get("conv2"))
+    return y + h, {"conv1": c1, "conv2": c2}
+
+
+def mid_block_stream(x, p, st):
+    st = st or {}
+    x, s0 = residual_block_stream(x, p["res0"], st.get("res0"))
+    x = attention_block(x, p["attn"])
+    x, s1 = residual_block_stream(x, p["res1"], st.get("res1"))
+    return x, {"res0": s0, "res1": s1}
+
+
+def time_upsample_stream(x, p, carry, first):
+    """Streamed upsample3d. The batch op's effective conv stream is
+    e = [0, 0, x_1, x_2, ...] (x_0 passes through un-doubled and never
+    enters the conv). `carry` holds the last 2 effective frames."""
+    B, C, T, H, W = x.shape
+    if first:
+        carry = jnp.zeros((B, C, 2, H, W), x.dtype)
+        head = x[:, :, :1]
+        xs = x[:, :, 1:]
+    else:
+        head = None
+        xs = x
+    tin = jnp.concatenate([carry.astype(x.dtype), xs], axis=2)
+    new_carry = tin[:, :, -2:]
+    Ts = xs.shape[2]
+    if Ts == 0:
+        return x, new_carry  # chunk was just the passthrough frame 0
+    y = _conv3d_valid(tin, p["w"], p["b"])  # [B, 2C, Ts, H, W]
+    y = y.reshape(B, 2, C, Ts, H, W).transpose(0, 2, 3, 1, 4, 5)
+    y = y.reshape(B, C, 2 * Ts, H, W)
+    if head is not None:
+        y = jnp.concatenate([head, y], axis=2)
+    return y, new_carry
+
+
+def _decode_chunk(params, z, st, first: bool):
+    """One streamed-decode chunk: latent frames z -> pixel frames +
+    updated carry state (exact: see module docstring)."""
+    d = params["decoder"]
+    st = st or {}
+    h = causal_conv3d(z, params["post_quant_conv"]["w"],
+                      params["post_quant_conv"]["b"], padding=(0, 0, 0))
+    h, c_in = causal_conv3d_stream(h, d["conv_in"]["w"], d["conv_in"]["b"],
+                                   st.get("conv_in"))
+    h, s_mid = mid_block_stream(h, d["mid"], st.get("mid"))
+    s_blocks = []
+    for i, stage in enumerate(d["blocks"]):
+        bst = (st.get("blocks") or [None] * len(d["blocks"]))[i] or {}
+        s_res = []
+        for r, rp in enumerate(stage["res"]):
+            rs = (bst.get("res") or [None] * len(stage["res"]))[r]
+            h, ns = residual_block_stream(h, rp, rs)
+            s_res.append(ns)
+        nbst = {"res": s_res}
+        if "up" in stage:
+            if "time_up" in stage:
+                h, tc = time_upsample_stream(h, stage["time_up"],
+                                             bst.get("time_up"), first)
+                nbst["time_up"] = tc
+            h = upsample2x_spatial(h)
+            h = conv2d_on_frames(h, stage["up"]["w"], stage["up"]["b"])
+        s_blocks.append(nbst)
+    h = channel_rms_norm(h, d["norm_out"])
+    h = _silu(h)
+    h, c_out = causal_conv3d_stream(h, d["conv_out"]["w"],
+                                    d["conv_out"]["b"], st.get("conv_out"))
+    return h, {"conv_in": c_in, "mid": s_mid, "blocks": s_blocks,
+               "conv_out": c_out}
+
+
 class AutoencoderKLQwenImage:
     def __init__(self, config: QwenImageVAEConfig, dtype=jnp.float32):
         self.cfg = config
         self.dtype = dtype
+        # state is donated: chunk c+1's carries reuse chunk c's buffers
+        # (at 720p the full carry set is ~4 GB bf16 — without donation
+        # it would be live twice across the call boundary)
+        self._chunk_jit = jax.jit(_decode_chunk, donate_argnums=(2,),
+                                  static_argnames=("first",))
 
     # ----------------------------------------------------------- params
     def init_params(self, rng: jax.Array) -> dict[str, Any]:
@@ -333,3 +454,20 @@ class AutoencoderKLQwenImage:
         h = _silu(h)
         h = causal_conv3d(h, d["conv_out"]["w"], d["conv_out"]["b"])
         return h
+
+    def decode_streamed(self, params, z: jax.Array,
+                        chunk_frames: int = 1) -> jax.Array:
+        """Chunked temporal decode with carried causal-conv state —
+        exact (the video equivalent of the reference's feat_cache
+        streaming), peak memory bounded by `chunk_frames` latent
+        frames instead of the whole clip."""
+        T = z.shape[2]
+        if T <= chunk_frames:
+            return self.decode(params, z)
+        outs = []
+        st = None
+        for t0 in range(0, T, chunk_frames):
+            y, st = self._chunk_jit(params, z[:, :, t0:t0 + chunk_frames],
+                                    st, first=(t0 == 0))
+            outs.append(y)
+        return jnp.concatenate(outs, axis=2)

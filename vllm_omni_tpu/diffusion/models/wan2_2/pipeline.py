@@ -106,7 +106,7 @@ class WanPipeline:
 
         self.params = apply_offload_policy(self.params, od_config)
         self._denoise_step = self._build_denoise_step()
-        self._decode = jax.jit(self.vae.decode)
+        self._decode_full = jax.jit(self.vae.decode)
         self.cache_backend = None
         # DP/SP placement hooks (parallel_placement.py)
         self._dp_place = lambda x: x
@@ -138,6 +138,18 @@ class WanPipeline:
             return scheduling.step(latents, velocity, sigma, sigma_next)
 
         return denoise_step
+
+    def _decode(self, params, z):
+        """VAE decode; multi-frame clips stream chunk-by-chunk through
+        the carried-state causal decoder (exact; bounds peak memory by
+        the chunk, not the clip — a 21f 720p f32 single-shot decode is
+        a 44 GB program)."""
+        if z.shape[2] > 1:
+            import os
+
+            chunk = int(os.environ.get("OMNI_TPU_VAE_STREAM_CHUNK", "1"))
+            return self.vae.decode_streamed(params, z, chunk_frames=chunk)
+        return self._decode_full(params, z)
 
     def encode_prompt(self, prompts):
         if self.text_encoder is None:
@@ -246,12 +258,23 @@ class WanPipeline:
         latents = self._sp_place(latents)
 
         t0 = time.perf_counter()
+        # phase offload: device-put the host-pinned DiT ONCE for the
+        # whole denoise loop (vs per-call streaming), drop before VAE
+        phase_off = getattr(od, "dit_phase_offload", False)
+        if phase_off:
+            dit_dev = {
+                k: (jax.device_put(self.params[k])
+                    if self.params.get(k) is not None else None)
+                for k in ("transformer", "transformer_2")}
+        else:
+            dit_dev = {k: self.params.get(k)
+                       for k in ("transformer", "transformer_2")}
         for i in range(sched.num_steps):
             t = float(sched.timesteps[i])
             use_low = (boundary_t is not None and t < boundary_t
-                       and self.params.get("transformer_2") is not None)
-            tparams = (self.params["transformer_2"] if use_low
-                       else self.params["transformer"])
+                       and dit_dev.get("transformer_2") is not None)
+            tparams = (dit_dev["transformer_2"] if use_low
+                       else dit_dev["transformer"])
             g = g_low if use_low else g_high
             if self.expand_timesteps and latent_condition is not None:
                 latents = jnp.where(
@@ -271,6 +294,10 @@ class WanPipeline:
         jax.block_until_ready(latents)
         metrics.denoise_latency = time.perf_counter() - t0
         metrics.num_steps = sched.num_steps
+        if phase_off:
+            # release the DiT's HBM before the VAE phase
+            tparams = None
+            dit_dev.clear()
 
         if self.expand_timesteps and latent_condition is not None:
             mask5 = token_frame_mask(latents, token_mask, c)
@@ -282,11 +309,11 @@ class WanPipeline:
 
         t0 = time.perf_counter()
         vcfg = self.vae.cfg
-        z = latents.astype(jnp.float32)
+        z = latents.astype(self.vae.dtype)
         if vcfg.latents_mean is not None:
-            mean = jnp.asarray(vcfg.latents_mean, jnp.float32).reshape(
+            mean = jnp.asarray(vcfg.latents_mean, self.vae.dtype).reshape(
                 1, zc, 1, 1, 1)
-            std = jnp.asarray(vcfg.latents_std, jnp.float32).reshape(
+            std = jnp.asarray(vcfg.latents_std, self.vae.dtype).reshape(
                 1, zc, 1, 1, 1)
             z = z * std + mean
         video = jax.block_until_ready(self._decode(self.params["vae"], z))
@@ -455,11 +482,11 @@ class WanImageToVideoPipeline(WanPipeline):
             return latents, metrics
 
         vcfg = self.vae.cfg
-        z = latents.astype(jnp.float32)
+        z = latents.astype(self.vae.dtype)
         if vcfg.latents_mean is not None:
-            mean = jnp.asarray(vcfg.latents_mean, jnp.float32).reshape(
+            mean = jnp.asarray(vcfg.latents_mean, self.vae.dtype).reshape(
                 1, zc, 1, 1, 1)
-            std = jnp.asarray(vcfg.latents_std, jnp.float32).reshape(
+            std = jnp.asarray(vcfg.latents_std, self.vae.dtype).reshape(
                 1, zc, 1, 1, 1)
             z = z * std + mean
         video = jax.block_until_ready(self._decode(self.params["vae"], z))

@@ -28,9 +28,11 @@ def apply_offload_policy(params: dict[str, Any], od_config: Any) -> dict:
     """Pin configured components host-side. Keys follow the pipeline
     param conventions: 'transformer'/'transformer_2' (DiT), 'vae',
     'text_encoder', 'image_encoder'."""
+    dit_off = (getattr(od_config, "dit_cpu_offload", False)
+               or getattr(od_config, "dit_phase_offload", False))
     flags = {
-        "transformer": getattr(od_config, "dit_cpu_offload", False),
-        "transformer_2": getattr(od_config, "dit_cpu_offload", False),
+        "transformer": dit_off,
+        "transformer_2": dit_off,
         "vae": getattr(od_config, "vae_cpu_offload", False),
         "text_encoder": getattr(
             od_config, "text_encoder_cpu_offload", False),
