@@ -305,6 +305,11 @@ def bench_pipeline() -> dict:
     from vllm_omni_tpu.stages.async_omni import AsyncOmni
 
     omni = AsyncOmni(stage_configs=cfgs, log_stats=True)
+    # low-latency streaming config: emit audio every 16 codec frames
+    # (default 300 covers a 64-frame utterance in one chunk, so no
+    # partial — and no TTFT datapoint — would ever be produced)
+    omni.stages[2].engine.chunk_size = 16
+    omni.stages[2].engine.left_context = 8
 
     async def one(stream):
         t0 = time.perf_counter()
@@ -321,6 +326,15 @@ def bench_pipeline() -> dict:
 
     try:
         asyncio.run(one(False))  # compile everything
+        asyncio.run(one(True))   # compile the streaming variants too
+        # reset per-stage stats: the warm-up runs are compile-dominated
+        # and would swamp tps_avg
+        for s in omni.metrics.stage_stats.values():
+            s.num_requests = 0
+            s.total_gen_time_s = 0.0
+            s.total_output_tokens = 0
+            s.total_rx_bytes = 0
+            s.latencies_s.clear()
         ttfts, e2es = [], []
         for _ in range(3):
             ttft, e2e, nf = asyncio.run(one(True))

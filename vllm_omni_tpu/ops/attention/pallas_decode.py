@@ -360,8 +360,12 @@ def decode_paged_attention(
                    constant_values=S)
     pos = jnp.pad(positions, (0, Tp - T))
 
+    # chunk sizing uses the COMPUTE itemsize: narrow (fp8) caches stream
+    # as 1-byte pages but upcast to the q dtype inside VMEM, so the
+    # upcast temporaries — not the stream buffers — bound the chunk
     CT = chunk_tokens or _chunk_tokens(
-        Hkv, D, k_cache.dtype.itemsize, B, MAXB * B)
+        Hkv, D, max(k_cache.dtype.itemsize, q.dtype.itemsize), B,
+        MAXB * B)
     assert CT % B == 0, (CT, B)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
