@@ -324,9 +324,26 @@ def bench_pipeline() -> dict:
                 n_final += 1
         return ttft, time.perf_counter() - t0, n_final
 
+    # incremental cross-stage hand-off (stages/streaming.py): toggled by
+    # setting the stream processors on the live stage configs — procs are
+    # resolved per request in _make_stream_procs
+    STREAM_PROCS = {
+        1: ("vllm_omni_tpu.stages.input_processors.qwen3_omni_streaming."
+            "Thinker2TalkerStreaming"),
+        2: ("vllm_omni_tpu.stages.input_processors.qwen3_omni_streaming."
+            "Talker2Code2WavStreaming"),
+    }
+
+    def set_incremental(on: bool):
+        for sid, path in STREAM_PROCS.items():
+            omni.stage_configs[sid].stream_input_processor = (
+                path if on else None)
+
     try:
         asyncio.run(one(False))  # compile everything
         asyncio.run(one(True))   # compile the streaming variants too
+        set_incremental(True)
+        asyncio.run(one(True))
         # reset per-stage stats: the warm-up runs are compile-dominated
         # and would swamp tps_avg
         for s in omni.metrics.stage_stats.values():
@@ -335,6 +352,14 @@ def bench_pipeline() -> dict:
             s.total_output_tokens = 0
             s.total_rx_bytes = 0
             s.latencies_s.clear()
+        set_incremental(False)
+        ttfts_completion = []
+        for _ in range(3):
+            ttft, _, nf = asyncio.run(one(True))
+            assert nf >= 2, nf
+            if ttft is not None:
+                ttfts_completion.append(ttft)
+        set_incremental(True)
         ttfts, e2es = [], []
         for _ in range(3):
             ttft, e2e, nf = asyncio.run(one(True))
@@ -349,6 +374,9 @@ def bench_pipeline() -> dict:
         omni.shutdown()
     return {"metric": "speech_pipeline_3B_shaped",
             "speech_ttft_s": round(min(ttfts), 3) if ttfts else None,
+            "speech_ttft_completion_handoff_s": (
+                round(min(ttfts_completion), 3) if ttfts_completion
+                else None),
             "e2e_s": round(statistics.median(e2es), 3),
             "text_tokens": max_text, **per_stage}
 

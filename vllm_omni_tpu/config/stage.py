@@ -53,6 +53,11 @@ class StageConfig:
     # Dotted path "pkg.mod.fn" mapping upstream outputs -> this stage's
     # prompts (reference stage_input_processors/qwen3_omni.py:51-183).
     custom_process_input_func: Optional[str] = None
+    # Dotted path to a stages.streaming.StreamInputProcessor subclass:
+    # when the client streams and every stage on the edge is local, the
+    # upstream hands off INCREMENTALLY through it (beyond-reference; the
+    # reference only hands off on stage completion, omni_stage.py:819).
+    stream_input_processor: Optional[str] = None
     final_output: bool = False
     final_output_type: str = "text"
     is_comprehension: bool = False
@@ -79,12 +84,23 @@ class StageConfig:
             "engine_args": dataclasses.asdict(self.engine_args),
             "engine_input_source": list(self.engine_input_source),
             "custom_process_input_func": self.custom_process_input_func,
+            "stream_input_processor": self.stream_input_processor,
             "final_output": self.final_output,
             "final_output_type": self.final_output_type,
             "is_comprehension": self.is_comprehension,
             "default_sampling_params": dict(self.default_sampling_params),
             "diffusion_args": dict(self.diffusion_args),
         }
+
+    def resolve_stream_input_processor(self):
+        """Resolve stream_input_processor to its class (or None)."""
+        if not self.stream_input_processor:
+            return None
+        if callable(self.stream_input_processor):
+            return self.stream_input_processor
+        mod_path, _, cls_name = self.stream_input_processor.rpartition(".")
+        mod = importlib.import_module(mod_path)
+        return getattr(mod, cls_name)
 
     def resolve_input_processor(self) -> Optional[Callable]:
         if not self.custom_process_input_func:
@@ -108,6 +124,7 @@ def _parse_stage(d: dict[str, Any], model: str = "") -> StageConfig:
         "stage_type",
         "engine_input_source",
         "custom_process_input_func",
+        "stream_input_processor",
         "final_output",
         "final_output_type",
         "is_comprehension",

@@ -203,7 +203,12 @@ class EngineCore:
         want_mm = self.output_type != "text"
         finalize = getattr(self.runner.model, "finalize_multimodal", None)
         for req in produced:
-            if req.finished and want_mm and finalize is not None:
+            # static per-request extras (e.g. thinker tts embeds) attach
+            # at the FIRST emission so streaming consumers see them
+            # before the request finishes; merged finals are unchanged
+            if (want_mm and finalize is not None
+                    and not getattr(req, "_mm_finalized", False)):
+                req._mm_finalized = True
                 for k, v in finalize(
                     self.runner.params, req.additional_information
                 ).items():

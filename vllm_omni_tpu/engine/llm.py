@@ -223,6 +223,11 @@ class LLM:
                 continue
             req, detok = entry
             detok.add_tokens(co.new_token_ids)
+            # core outputs drain in bursts (async pipelined steps), but
+            # each one is a per-step record: snapshot the token count and
+            # per-step mm so streamed partials advance one step at a time
+            req._emitted_tokens = (
+                getattr(req, "_emitted_tokens", 0) + len(co.new_token_ids))
             finished = co.finished
             finish_reason = co.finish_reason
             if detok.stopped_on is not None and not finished:
@@ -230,7 +235,10 @@ class LLM:
                 self.core.abort_request(co.request_id)
                 finished = True
                 finish_reason = "stop"
-            outs.append(self._make_output(req, detok, finished, finish_reason))
+            outs.append(self._make_output(
+                req, detok, finished, finish_reason,
+                step_mm=co.multimodal_output,
+                n_tokens=req._emitted_tokens))
             if finished:
                 self._active.pop(co.request_id, None)
         return outs
@@ -290,6 +298,7 @@ class LLM:
     def _make_output(
         self, req: Request, detok: IncrementalDetokenizer,
         finished: bool, finish_reason: Optional[str],
+        step_mm: Optional[dict] = None, n_tokens: Optional[int] = None,
     ) -> RequestOutput:
         mm = None
         if req.multimodal_outputs:
@@ -306,15 +315,25 @@ class LLM:
                     return jnp.concatenate(v, axis=0)
                 return jnp.stack(v)
 
-            mm = (
-                {k: _merge(v) for k, v in req.multimodal_outputs.items()}
-                if finished
-                else {k: v[-1] for k, v in req.multimodal_outputs.items()}
-            )
+            if finished:
+                mm = {k: _merge(v) for k, v in req.multimodal_outputs.items()}
+            else:
+                # partials: prompt-level accumulations whole (tuple of
+                # prefill-chunk arrays; no copy, no concat), static
+                # finalize extras as-is, and THIS step's aux values
+                # (step_mm) — not the newest drained ones, so burst
+                # drains still stream one step at a time
+                mm = {k: (tuple(v) if k.startswith("prompt_") else v[-1])
+                      for k, v in req.multimodal_outputs.items()}
+                if step_mm:
+                    mm.update(step_mm)
+        tok_ids = list(req.output_token_ids)
+        if not finished and n_tokens is not None:
+            tok_ids = tok_ids[:n_tokens]
         comp = CompletionOutput(
             index=0,
             text=detok.text,
-            token_ids=list(req.output_token_ids),
+            token_ids=tok_ids,
             finish_reason=finish_reason if finished else None,
             stop_reason=req.stop_reason or detok.stopped_on,
             multimodal_output=mm,

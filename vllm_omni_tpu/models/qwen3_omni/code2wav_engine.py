@@ -77,7 +77,17 @@ class Code2WavEngine:
     def generate_stream(self, prompt, sampling_params=None):
         """Yield a partial RequestOutput per decoded waveform chunk (the
         TTFT speech-streaming path: first audio is ready after ONE
-        chunk's decode instead of the full utterance)."""
+        chunk's decode instead of the full utterance).
+
+        Incremental mode: a dict prompt carrying `frame_feed` (a
+        stages/streaming.StreamFeed of [NQ] int frames from a
+        still-running talker) decodes each chunk as soon as
+        `chunk_size` frames exist — chunk boundaries and left context
+        match chunked_decode exactly, so the concatenated waveform is
+        bit-identical to the completion-handoff path."""
+        if isinstance(prompt, dict) and prompt.get("frame_feed") is not None:
+            yield from self._stream_from_feed(prompt)
+            return
         nq = self.model.cfg.num_quantizers
         flat = (prompt["prompt_token_ids"] if isinstance(prompt, dict)
                 else list(prompt))
@@ -111,3 +121,66 @@ class Code2WavEngine:
                     })],
                 finished=finished,
             )
+
+    def _stream_from_feed(self, prompt):
+        from vllm_omni_tpu.stages.streaming import StreamCancelled
+
+        feed = prompt["frame_feed"]
+        rid = str(prompt.get("request_id", "c2w"))
+        frames: list[np.ndarray] = []
+        parts: list[jax.Array] = []
+        start = 0
+        aborted = False
+
+        def decode_span(end):
+            nonlocal start
+            ctx = (self.left_context if start - self.left_context > 0
+                   else start)
+            codes = jnp.asarray(
+                np.stack(frames[start - ctx:end], axis=1))[None]
+            wav = self.model.forward(self.params, codes)
+            chunk = wav[ctx * self.model.total_upsample:]
+            parts.append(chunk)
+            start = end
+            return chunk
+
+        while True:
+            try:
+                f = feed.get(len(frames))
+            except StreamCancelled:
+                aborted = True
+                break
+            if f is None:
+                break
+            frames.append(np.asarray(f, np.int32))
+            if self.chunked and len(frames) - start >= self.chunk_size:
+                chunk = decode_span(start + self.chunk_size)
+                yield RequestOutput(
+                    request_id=rid, prompt=None, prompt_token_ids=[],
+                    outputs=[CompletionOutput(
+                        index=0, text="", token_ids=[], finish_reason=None,
+                        multimodal_output={"waveform_chunk": chunk})],
+                    finished=False,
+                )
+        tail = None
+        if not aborted and len(frames) > start:
+            tail = decode_span(len(frames))
+        full = (jnp.concatenate(parts) if parts
+                else jnp.zeros((0,), self.model.dtype))
+        codes = (np.stack(frames, axis=1) if frames
+                 else np.zeros((self.model.cfg.num_quantizers, 0), np.int32))
+        yield RequestOutput(
+            request_id=rid, prompt=None,
+            prompt_token_ids=[int(c) for c in codes.reshape(-1)],
+            outputs=[CompletionOutput(
+                index=0, text="", token_ids=[],
+                finish_reason="abort" if aborted else "stop",
+                # only a NEW tail chunk rides the final output — chunks
+                # already emitted as partials must not replay at the
+                # client (SSE sends the final's waveform_chunk verbatim)
+                multimodal_output={
+                    "waveform": full,
+                    **({"waveform_chunk": tail} if tail is not None else {}),
+                })],
+            finished=True,
+        )

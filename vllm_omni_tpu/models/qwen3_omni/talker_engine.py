@@ -161,13 +161,33 @@ class TalkerEngine:
         return [self._generate_one(p, sp)
                 for p, sp in zip(prompts, sampling_params)]
 
+    def generate_stream(self, prompt: dict[str, Any], sp=None):
+        """Yield a partial RequestOutput per codec frame (mm "frame"),
+        then the final one with the full [NQ, T] "codes". The prompt may
+        carry a live `trailing_feed` (stages/streaming.StreamFeed of
+        projected text embeddings) instead of `trailing_text_hidden`:
+        decode step k blocks until trailing[k] exists, so frames are
+        bit-identical to the completion-handoff path while the upstream
+        thinker is still generating."""
+        yield from self._run(prompt, sp, stream=True)
+
     def _generate_one(self, prompt: dict[str, Any], sp) -> RequestOutput:
+        out = None
+        for out in self._run(prompt, sp, stream=False):
+            pass
+        return out
+
+    def _run(self, prompt: dict[str, Any], sp, stream: bool):
         model = self.model
         embeds = np.asarray(prompt["inputs_embeds"], np.float32)
         T = embeds.shape[0]
         positions = np.asarray(prompt["mrope_positions"], np.float32)
         delta = float(prompt.get("mrope_delta", 0))
-        trailing = np.asarray(prompt["trailing_text_hidden"], np.float32)
+        feed = prompt.get("trailing_feed")
+        trailing = (np.zeros((0, embeds.shape[1]), np.float32)
+                    if feed is not None
+                    else np.asarray(prompt["trailing_text_hidden"],
+                                    np.float32))
         tts_pad = np.asarray(prompt["tts_pad_embed"], np.float32)
         max_frames = int(getattr(sp, "max_tokens", None) or 2048)
 
@@ -192,34 +212,61 @@ class TalkerEngine:
             kv, jnp.int32(T), counts, temp, top_p, top_k, rp, sseed,
             self.suppress_mask)
 
+        from vllm_omni_tpu.stages.streaming import StreamCancelled
+
+        rid = str(prompt.get("request_id", "talker"))
         frames: list[np.ndarray] = []
         decode = self._decode()
         code_host = int(jax.device_get(code))
         cache_len = T
         step = 0
+        aborted = False
         while code_host != self.eos_id and step < max_frames:
-            trail = trailing[step] if step < trailing.shape[0] else tts_pad
+            if feed is not None:
+                try:
+                    trail = feed.get(step)
+                except StreamCancelled:
+                    aborted = True
+                    break
+                if trail is None:  # past the feed's end: text exhausted
+                    trail = tts_pad
+                trail = np.asarray(trail, np.float32)
+            else:
+                trail = trailing[step] if step < trailing.shape[0] else tts_pad
             frame, code, hidden, kv, counts = decode(
                 self.params, kv, jnp.int32(cache_len), code, hidden,
                 jnp.asarray(trail), jnp.float32(cache_len + delta), counts,
                 temp, top_p, top_k, rp, sseed, jnp.int32(step + 1),
                 self.suppress_mask)
             frame_host, code_host = jax.device_get((frame, code))
-            frames.append(np.asarray(frame_host, np.int32))
+            frame_host = np.asarray(frame_host, np.int32)
+            frames.append(frame_host)
             code_host = int(code_host)
             cache_len += 1
             step += 1
+            if stream:
+                yield RequestOutput(
+                    request_id=rid, prompt=None, prompt_token_ids=[],
+                    outputs=[CompletionOutput(
+                        index=0, text="",
+                        token_ids=[int(f[0]) for f in frames],
+                        finish_reason=None,
+                        multimodal_output={"frame": frame_host})],
+                    finished=False,
+                )
             if cache_len >= self.max_len:
                 break
 
         codes = (np.stack(frames, axis=1) if frames
                  else np.zeros((model.NQ, 0), np.int32))  # [NQ, n_frames]
-        return RequestOutput(
-            request_id=str(prompt.get("request_id", "talker")), prompt=None,
+        yield RequestOutput(
+            request_id=rid, prompt=None,
             prompt_token_ids=[],
             outputs=[CompletionOutput(
                 index=0, text="", token_ids=[int(c) for c in codes[0]],
-                finish_reason="stop" if code_host == self.eos_id else "length",
+                finish_reason=(
+                    "abort" if aborted
+                    else "stop" if code_host == self.eos_id else "length"),
                 multimodal_output={"codes": codes})],
             finished=True,
         )

@@ -70,9 +70,38 @@ class AsyncOmni(Omni):
                 self.metrics.on_stage_metrics(so.metrics)
             if so.error is not None:
                 st.error = so.error
+                st.cancel_streams()  # unblock engines waiting on feeds
                 st.push(RuntimeError(so.error))
                 continue
             if so.partial:
+                # incremental cross-stage edges: feed downstream
+                # stream processors (stages/streaming.py)
+                for nxt_id in self.consumers.get(so.stage_id, []):
+                    proc = st.stream_procs.get(nxt_id)
+                    if proc is None:
+                        continue
+                    try:
+                        next_input = proc.on_partial(so.stage_id, so.output)
+                    except Exception as e:
+                        import traceback
+
+                        logger.error(
+                            "stream processor for stage %d failed on "
+                            "%s: %s", nxt_id, st.request_id, e)
+                        st.error = (
+                            f"stage {nxt_id} stream processor: {e}\n"
+                            f"{traceback.format_exc()}")
+                        st.cancel_streams()
+                        st.push(RuntimeError(st.error))
+                        break
+                    if next_input is not None:
+                        proc.submitted = True
+                        self.stages[nxt_id].submit(StageTask(
+                            st.request_id, next_input, st.sps.get(nxt_id),
+                            stream=self._stream_flag(
+                                st, nxt_id, st.pending_final_all)))
+                if st.error is not None:
+                    continue
                 # incremental emission from a final stage -> stream to the
                 # client; never advances pipeline state
                 if st.stream and so.stage_id in st.pending_final_all:
@@ -115,13 +144,16 @@ class AsyncOmni(Omni):
         st.pending_final_all = final_ids
         st.sps = self._normalize_sampling(sampling_params, 1)[0]
         st.stream = stream
+        if stream:
+            st.stream_procs, st.stream_sources = self._make_stream_procs(
+                prompt)
         with self._lock:
             self._active[request_id] = st
         self.metrics.on_request_start(request_id)
         first_stage = self.stage_configs[0].stage_id
         self.stages[first_stage].submit(
             StageTask(request_id, prompt, st.sps.get(first_stage),
-                      stream=stream and first_stage in final_ids)
+                      stream=self._stream_flag(st, first_stage, final_ids))
         )
         completed = False
         try:
@@ -138,6 +170,7 @@ class AsyncOmni(Omni):
             if not completed:
                 # consumer went away mid-request (HTTP disconnect /
                 # generator close): stop the stages from burning cycles
+                st.cancel_streams()
                 for stage in self.stages.values():
                     if hasattr(stage, "abort"):
                         stage.abort(request_id)
@@ -148,6 +181,8 @@ class AsyncOmni(Omni):
     async def abort(self, request_id: str) -> None:
         with self._lock:
             st = self._active.pop(request_id, None)
+        if st is not None:
+            st.cancel_streams()
         for stage in self.stages.values():
             if hasattr(stage, "abort"):
                 stage.abort(request_id)

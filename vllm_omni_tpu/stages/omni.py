@@ -39,6 +39,18 @@ class _RequestState:
         self.pending_final: set[int] = set()
         self.error: Optional[str] = None
         self.stream = False  # client asked for incremental final outputs
+        # incremental cross-stage edges (stages/streaming.py):
+        # consumer stage id -> live StreamInputProcessor; and the set of
+        # upstream stage ids that must emit partials to drive them
+        self.stream_procs: dict[int, Any] = {}
+        self.stream_sources: set[int] = set()
+
+    def cancel_streams(self) -> None:
+        for proc in self.stream_procs.values():
+            try:
+                proc.cancel()
+            except Exception:
+                pass
 
     @property
     def done(self) -> bool:
@@ -213,6 +225,31 @@ class Omni:
         # forward to consumers whose inputs are all available
         for nxt_id in self.consumers.get(sid, []):
             nxt = self.stages[nxt_id]
+            proc = st.stream_procs.get(nxt_id)
+            if proc is not None:
+                # incremental edge: the consumer is (or will be) driven
+                # by live feeds; on_final closes them, or returns the
+                # batch prompt if the edge never engaged
+                try:
+                    next_input = proc.on_final(sid, so.output)
+                except Exception as e:
+                    import traceback
+
+                    logger.error(
+                        "stream processor for stage %d failed on %s: %s",
+                        nxt_id, st.request_id, e)
+                    st.error = (
+                        f"stage {nxt_id} stream processor: {e}\n"
+                        f"{traceback.format_exc()}")
+                    st.cancel_streams()
+                    return
+                if next_input is None:
+                    continue
+                proc.submitted = True
+                nxt.submit(StageTask(
+                    st.request_id, next_input, sps.get(nxt_id),
+                    stream=self._stream_flag(st, nxt_id, final_ids)))
+                continue
             needed = nxt.config.engine_input_source
             if not all(s in st.stage_outputs for s in needed):
                 continue
@@ -233,7 +270,48 @@ class Omni:
                 return
             nxt.submit(StageTask(
                 st.request_id, next_input, sps.get(nxt_id),
-                stream=st.stream and nxt_id in final_ids))
+                stream=self._stream_flag(st, nxt_id, final_ids)))
+
+    def _stream_flag(self, st: _RequestState, stage_id: int,
+                     final_ids: set[int]) -> bool:
+        """A stage task streams when the client streams AND its partials
+        have a consumer: the client (final stage) or an incremental
+        downstream edge (stages/streaming.py)."""
+        return st.stream and (stage_id in final_ids
+                              or stage_id in st.stream_sources)
+
+    def _make_stream_procs(
+        self, prompt: Any
+    ) -> tuple[dict[int, Any], set[int]]:
+        """Instantiate incremental edge processors for a streaming
+        request. Only fully-local edges engage (live feed objects cannot
+        cross a socket); remote edges keep completion hand-off."""
+        from vllm_omni_tpu.stages.remote import RemoteStage
+
+        procs: dict[int, Any] = {}
+        sources: set[int] = set()
+        for cfg in self.stage_configs:
+            if len(cfg.engine_input_source) != 1:
+                continue
+            try:
+                cls = cfg.resolve_stream_input_processor()
+            except Exception as e:
+                logger.warning(
+                    "stage %d stream_input_processor unresolvable: %s",
+                    cfg.stage_id, e)
+                continue
+            if cls is None:
+                continue
+            src = cfg.engine_input_source[0]
+            consumer = self.stages[cfg.stage_id]
+            upstream = self.stages.get(src)
+            if (isinstance(consumer, RemoteStage)
+                    or isinstance(upstream, RemoteStage)
+                    or consumer.engine is None):
+                continue
+            procs[cfg.stage_id] = cls(consumer, prompt)
+            sources.add(src)
+        return procs, sources
 
     def _normalize_sampling(
         self, sampling_params_list, n: int

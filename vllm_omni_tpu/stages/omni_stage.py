@@ -379,7 +379,7 @@ class OmniStage:
         Beyond-reference: the reference rejects HTTP streaming
         (serving_chat.py:268-269)."""
         sp = None
-        if self.config.stage_type == "llm":
+        if self.config.stage_type in ("llm", "talker"):
             sp = prepare_sampling_params(
                 self.config.default_sampling_params, task.sampling_params)
         last = None
