@@ -170,3 +170,63 @@ def test_diffusion_dp_and_vae_parallel_match_single():
     np.testing.assert_allclose(got2.astype(np.float32),
                                ref.astype(np.float32), atol=1)
     assert (got2 != ref).mean() < 0.02
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_diffusion_step_overlaps_vae_with_next_denoise():
+    """engine.step launches every request's denoise+decode before
+    materializing any output — with a VAE device slice, request N's
+    decode overlaps request N+1's denoise. Outputs must be identical to
+    one-request-per-step serial processing."""
+    from vllm_omni_tpu.config.diffusion import (
+        DiffusionParallelConfig,
+        OmniDiffusionConfig,
+    )
+    from vllm_omni_tpu.diffusion.engine import DiffusionEngine
+    from vllm_omni_tpu.diffusion.models.qwen_image.pipeline import (
+        QwenImagePipeline,
+    )
+    from vllm_omni_tpu.diffusion.models.qwen_image.transformer import (
+        QwenImageTransformerConfig,
+    )
+    from vllm_omni_tpu.diffusion.models.qwen_image.vae import (
+        QwenImageVAEConfig,
+    )
+    from vllm_omni_tpu.diffusion.parallel_placement import VaeDecoder
+    from vllm_omni_tpu.diffusion.request import OmniDiffusionRequest
+
+    tf = QwenImageTransformerConfig(
+        num_layers=2, attention_head_dim=32, num_attention_heads=2,
+        joint_attention_dim=48, in_channels=16, out_channels=4,
+        axes_dims_rope=(8, 12, 12))
+    vae_cfg = QwenImageVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 2),
+                                 num_res_blocks=1)
+    od = OmniDiffusionConfig(
+        model="tiny", dtype="float32",
+        parallel_config=DiffusionParallelConfig(vae_parallel_size=1))
+    pipe = QwenImagePipeline(od, transformer_config=tf, vae_config=vae_cfg,
+                             load_weights=False)
+    engine = DiffusionEngine(od, pipeline=pipe, load_weights=False)
+    assert isinstance(engine.pipeline._decode, VaeDecoder)
+
+    rng = np.random.default_rng(0)
+
+    def make_req(i):
+        return OmniDiffusionRequest(
+            request_id=f"d{i}", prompt="x",
+            prompt_embeds=rng.normal(size=(1, 5, 48)).astype(np.float32),
+            negative_prompt_embeds=rng.normal(size=(1, 5, 48)
+                                              ).astype(np.float32),
+            height=32, width=32, num_inference_steps=2, seed=10 + i,
+            true_cfg_scale=2.0, output_type="np")
+
+    reqs_a = [make_req(0), make_req(1), make_req(2)]
+    rng = np.random.default_rng(0)
+    reqs_b = [make_req(0), make_req(1), make_req(2)]
+
+    batched = engine.step(reqs_a)  # one step: launch all, then gather
+    serial = [engine.step([r])[0] for r in reqs_b]
+    assert not any(o.error for o in batched), [o.error for o in batched]
+    for got, ref in zip(batched, serial):
+        np.testing.assert_array_equal(
+            np.asarray(got.images[0]), np.asarray(ref.images[0]))

@@ -88,12 +88,20 @@ class DiffusionEngine:
                                      devices=devices)
 
     def step(self, requests: list[OmniDiffusionRequest]) -> list[OmniRequestOutput]:
-        outputs = []
+        # two phases: LAUNCH every request's denoise+decode (device work
+        # is dispatched async; results stay device arrays), then
+        # MATERIALIZE outputs in order. With a VAE device slice
+        # (parallel_placement.VaeDecoder), request N's VAE decode then
+        # genuinely overlaps request N+1's denoise — the reference
+        # carves a _VAE group for exactly this
+        # (reference parallel_state.py:499-508)
+        launched: list[tuple] = []
         for req in requests:
             try:
                 if req.profile:
                     # per-request JAX profiler capture around the whole
-                    # forward (reference request.py profile fields)
+                    # forward (reference request.py profile fields);
+                    # profiled requests materialize inside the capture
                     from vllm_omni_tpu.utils.profiling import (
                         start_profile,
                         stop_profile,
@@ -102,30 +110,47 @@ class DiffusionEngine:
                     start_profile()
                     try:
                         result, metrics = self.pipeline.forward(req)
+                        np.asarray(result)
                     finally:
                         stop_profile()
                 else:
                     result, metrics = self.pipeline.forward(req)
-                if req.output_type == "latent":
-                    out = OmniRequestOutput.from_diffusion(
-                        request_id=req.request_id, images=None,
-                        latents=result, prompt=str(req.prompt),
-                        metrics=metrics,
-                    )
-                else:
-                    images = tensor_to_pil(result)
-                    if req.output_type == "np":
-                        images = [np.asarray(im) for im in images]
-                    out = OmniRequestOutput.from_diffusion(
-                        request_id=req.request_id, images=images,
-                        prompt=str(req.prompt), metrics=metrics,
-                    )
+                launched.append((req, result, metrics, None))
             except Exception as e:  # error surface parity: engine returns
                 # per-request errors instead of crashing (reference
                 # omni_stage.py:822-833)
                 logger.exception("diffusion request %s failed", req.request_id)
+                launched.append((req, None, None, str(e)))
+
+        outputs = []
+        for req, result, metrics, err in launched:
+            if err is None:
+                try:
+                    if req.output_type == "latent":
+                        out = OmniRequestOutput.from_diffusion(
+                            request_id=req.request_id, images=None,
+                            latents=result, prompt=str(req.prompt),
+                            metrics=metrics,
+                        )
+                    else:
+                        images = tensor_to_pil(result)
+                        if req.output_type == "np":
+                            images = [np.asarray(im) for im in images]
+                        out = OmniRequestOutput.from_diffusion(
+                            request_id=req.request_id, images=images,
+                            prompt=str(req.prompt), metrics=metrics,
+                        )
+                except Exception as e:  # deferred device errors surface
+                    # at materialization time
+                    logger.exception(
+                        "diffusion request %s failed", req.request_id)
+                    out = OmniRequestOutput.from_diffusion(
+                        request_id=req.request_id, images=None,
+                        error=str(e),
+                    )
+            else:
                 out = OmniRequestOutput.from_diffusion(
-                    request_id=req.request_id, images=None, error=str(e),
+                    request_id=req.request_id, images=None, error=err,
                 )
             outputs.append(out)
         return outputs

@@ -205,10 +205,6 @@ class LLM:
             fsm = cache[key] = compile_fsm(spec, tb, int(eos))
         return fsm
 
-    def abort_request(self, request_id: str) -> None:
-        self.core.abort_request(request_id)
-        self._active.pop(request_id, None)
-
     def has_unfinished(self) -> bool:
         return self.core.has_unfinished()
 
