@@ -77,7 +77,7 @@ class TalkerEngine:
                 mask[self.eos_id] = False
         self.suppress_mask = jnp.asarray(mask)
         self._prefill_fns: dict[int, Any] = {}
-        self._decode_fn = None
+        self._decode_fns: dict[bool, Any] = {}
 
     # ---------------------------------------------------- processor helpers
     def project_text(self, x) -> jax.Array:
@@ -125,8 +125,16 @@ class TalkerEngine:
         counts = counts.at[code].add(1)
         return code, counts
 
-    def _decode(self):
-        if self._decode_fn is None:
+    def _decode(self, raw_trail: bool = False):
+        """raw_trail=True: `trail_embed` is a RAW thinker hidden row and
+        the text projection runs INSIDE the jitted step (same
+        `model.project` call as project_text, so values are bit-identical
+        to projecting on the host first). Incremental streaming feeds
+        raw rows so the orchestrator's output-handler thread never
+        touches the device — a per-token host-side project_text was a
+        device roundtrip (~20-30 ms over the remote tunnel) that
+        serialized the whole DAG behind one thread."""
+        if raw_trail not in self._decode_fns:
             model = self.model
 
             def fn(params, kv, cache_len, prev_code, past_hidden,
@@ -138,8 +146,13 @@ class TalkerEngine:
                     greedy=self.predictor_greedy,
                     seed=(sseed.astype(jnp.uint32)
                           + step.astype(jnp.uint32) * jnp.uint32(7919)))
+                # f32 upcast first: bit-identical to the batch path,
+                # which projects host-side f32 rows (bf16->f32 is exact)
+                trail = (model.project(params, "text_projection",
+                                       trail_embed.astype(jnp.float32))
+                         if raw_trail else trail_embed)
                 inputs = (last_id_hidden + extra
-                          + trail_embed.astype(last_id_hidden.dtype))[None]
+                          + trail.astype(last_id_hidden.dtype))[None]
                 pos3 = jnp.broadcast_to(
                     position.astype(jnp.float32), (3, 1))
                 hidden, kv = model.forward(
@@ -151,8 +164,8 @@ class TalkerEngine:
                 frame = jnp.concatenate([prev_code[None], codes])
                 return frame, next_code, hidden[-1], kv, counts
 
-            self._decode_fn = jax.jit(fn, donate_argnums=(1,))
-        return self._decode_fn
+            self._decode_fns[raw_trail] = jax.jit(fn, donate_argnums=(1,))
+        return self._decode_fns[raw_trail]
 
     # ------------------------------------------------------------ generate
     def generate(self, prompts, sampling_params) -> list[RequestOutput]:
@@ -188,7 +201,14 @@ class TalkerEngine:
                     if feed is not None
                     else np.asarray(prompt["trailing_text_hidden"],
                                     np.float32))
-        tts_pad = np.asarray(prompt["tts_pad_embed"], np.float32)
+        # feeds carry RAW thinker rows (projection folds into the
+        # jitted decode step); the batch path passes projected rows
+        raw_trail = feed is not None
+        tts_pad = np.asarray(
+            prompt["tts_pad_embed_raw" if raw_trail else "tts_pad_embed"],
+            np.float32)
+        if tts_pad.ndim > 1:
+            tts_pad = tts_pad[0]
         max_frames = int(getattr(sp, "max_tokens", None) or 2048)
 
         temp = jnp.float32(getattr(sp, "temperature", 0.9))
@@ -216,7 +236,7 @@ class TalkerEngine:
 
         rid = str(prompt.get("request_id", "talker"))
         frames: list[np.ndarray] = []
-        decode = self._decode()
+        decode = self._decode(raw_trail)
         code_host = int(jax.device_get(code))
         cache_len = T
         step = 0
@@ -230,7 +250,10 @@ class TalkerEngine:
                     break
                 if trail is None:  # past the feed's end: text exhausted
                     trail = tts_pad
-                trail = np.asarray(trail, np.float32)
+                # feed rows may be DEVICE arrays (thinker emits them on
+                # device; they never leave HBM) — do NOT np.asarray here
+                if getattr(trail, "ndim", 1) > 1:
+                    trail = trail[0]
             else:
                 trail = trailing[step] if step < trailing.shape[0] else tts_pad
             frame, code, hidden, kv, counts = decode(

@@ -72,8 +72,13 @@ class Thinker2TalkerStreaming(StreamInputProcessor):
             return None
         if self._embeds is None:
             return None  # never saw the first partial; fall back at final
-        self._rows.append(np.asarray(mm["last_input_embed"],
-                                     np.float32)[None])
+        # keep the row AS EMITTED (a device array on TPU): converting
+        # here is a device->host roundtrip (~20-30 ms over the remote
+        # tunnel) PER TOKEN on the orchestrator's single output-handler
+        # thread — it serialized the whole DAG and erased the streaming
+        # win. The talker consumes the row on-device (feed rows never
+        # leave HBM).
+        self._rows.append(mm["last_input_embed"])
         if not self.submitted:
             return self._build(output)
         self._flush()
@@ -93,13 +98,11 @@ class Thinker2TalkerStreaming(StreamInputProcessor):
         step_embeds = np.asarray(mm["last_input_embed"], np.float32)
         if step_embeds.ndim == 2 and step_embeds.shape[0] > len(
                 self._rows) + 1:
-            self._rows = [r[None] if r.ndim == 1 else r
-                          for r in step_embeds[1:]]
+            self._rows = list(step_embeds[1:])
         elif step_embeds.ndim == 1:
-            self._rows.append(step_embeds[None])
+            self._rows.append(step_embeds)
         self._flush()
-        engine = self.stage.engine
-        tts_eos = np.asarray(engine.project_text(self._mm1["tts_eos_embed"]))
+        tts_eos = np.asarray(self._mm1["tts_eos_embed"], np.float32)
         self.feed.append(tts_eos[0] if tts_eos.ndim > 1 else tts_eos)
         self.feed.finish()
         return None
@@ -110,7 +113,9 @@ class Thinker2TalkerStreaming(StreamInputProcessor):
     # ----------------------------------------------------------- helpers
     def _thinker_embed(self) -> np.ndarray:
         if self._rows:
-            return np.concatenate([self._embeds] + self._rows)
+            rows = [np.asarray(r, np.float32).reshape(1, -1)
+                    for r in self._rows]
+            return np.concatenate([self._embeds] + rows)
         return self._embeds
 
     def _build(self, output) -> dict[str, Any]:
@@ -133,6 +138,10 @@ class Thinker2TalkerStreaming(StreamInputProcessor):
             self.original_prompt,
         )
         prompt["trailing_feed"] = self.feed
+        # raw pad row for feed-exhausted steps (projected in-jit)
+        pad_raw = np.asarray(self._mm1["tts_pad_embed"], np.float32)
+        prompt["tts_pad_embed_raw"] = (
+            pad_raw[0] if pad_raw.ndim > 1 else pad_raw)
         prompt["request_id"] = output.request_id
         self.submitted = True
         self._next_idx = s_last + 4
@@ -140,13 +149,21 @@ class Thinker2TalkerStreaming(StreamInputProcessor):
         return prompt
 
     def _flush(self) -> None:
+        """Append RAW thinker rows — the talker projects them inside its
+        jitted decode step (talker_engine._decode(raw_trail=True)) and
+        generated-token rows stay DEVICE arrays end to end (they never
+        leave HBM). Host-side per-row work here (project_text, or even a
+        bare np.asarray of a device row: one ~20-30 ms tunnel roundtrip
+        per token) runs on the orchestrator's single output-handler
+        thread and serializes every stage's progress behind it."""
         if self._next_idx < 0:
             return
-        engine = self.stage.engine
-        emb = self._thinker_embed()
-        while self._next_idx < emb.shape[0]:
-            row = np.asarray(
-                engine.project_text(emb[self._next_idx]), np.float32)
+        n_prompt = self._embeds.shape[0]
+        total = n_prompt + len(self._rows)
+        while self._next_idx < total:
+            i = self._next_idx
+            row = (self._embeds[i] if i < n_prompt
+                   else self._rows[i - n_prompt])
             self.feed.append(row)
             self._next_idx += 1
 
