@@ -164,9 +164,37 @@ def test_image_generation_and_validation():
             r = await c.post("/v1/images/generations", json={
                 "prompt": "x", "size": "63x63"})
             assert r.status == 400
-            # chat against diffusion-only deployment rejected
+            # chat against a diffusion-only deployment generates an
+            # image from the last user message's text + input images
+            # (reference serving_chat.py:1012)
+            buf = io.BytesIO()
+            from PIL import Image as PILImage
+
+            PILImage.new("RGB", (8, 8), (1, 2, 3)).save(buf, format="PNG")
+            b64 = base64.b64encode(buf.getvalue()).decode()
             r = await c.post("/v1/chat/completions", json={
-                "messages": [{"role": "user", "content": "hi"}]})
+                "messages": [{"role": "user", "content": [
+                    {"type": "text", "text": "make it sunny"},
+                    {"type": "image_url",
+                     "image_url": {"url": f"data:image/png;base64,{b64}"}},
+                ]}], "seed": 5,
+                "extra_body": {"size": "32x48", "num_inference_steps": 3,
+                               "negative_prompt": "blurry"}})
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            msg = body["choices"][0]["message"]
+            img = Image.open(io.BytesIO(base64.b64decode(msg["images"][0])))
+            assert img.size == (32, 48)
+            assert eng.kwargs["seed"] == 5
+            assert eng.kwargs["image"].size == (8, 8)  # edit input
+            # extra_body generation params reach the engine (reference
+            # serving_chat.py:1048-1074)
+            assert (eng.kwargs["width"], eng.kwargs["height"]) == (32, 48)
+            assert eng.kwargs["num_inference_steps"] == 3
+            assert eng.kwargs["negative_prompt"] == "blurry"
+            # no text prompt -> 400
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "assistant", "content": "hi"}]})
             assert r.status == 400
 
     run(go())

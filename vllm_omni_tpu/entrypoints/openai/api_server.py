@@ -73,6 +73,13 @@ def build_app(
 
     async def chat_completions(request: web.Request) -> web.Response:
         if serving_chat is None:
+            if diffusion_engine is not None:
+                # pure-diffusion chat: prompt (+ optional input images
+                # for edit pipelines) -> generated image in the
+                # assistant message (reference serving_chat.py:1012
+                # _create_diffusion_chat_completion /
+                # _extract_diffusion_prompt_and_images:1226)
+                return await _diffusion_chat(request)
             return _json_error(
                 "this deployment serves only /v1/images/generations", 400)
         try:
@@ -184,6 +191,91 @@ def build_app(
             body = waveform_to_wav_bytes(wav, req.sample_rate, req.speed)
             ctype = "audio/wav"
         return web.Response(body=body, content_type=ctype)
+
+    async def _diffusion_chat(request: web.Request) -> web.Response:
+        from vllm_omni_tpu.entrypoints.openai.protocol import (
+            ChatCompletionChoice,
+            ChatCompletionResponse,
+            UsageInfo,
+        )
+        from vllm_omni_tpu.entrypoints.openai.serving_chat import _load_image
+
+        try:
+            req = ChatCompletionRequest(**await request.json())
+        except (ValidationError, ValueError) as e:
+            return _json_error(str(e))
+        if req.stream:
+            return _json_error(
+                "stream=true is not supported for diffusion chat", 400)
+        # prompt = text parts of the LAST user message; image parts
+        # become edit-pipeline inputs (OmniDiffusionRequest.image)
+        texts: list[str] = []
+        images: list[Any] = []
+        for msg in req.messages:
+            if msg.role != "user":
+                continue
+            texts, images = [], []
+            content = msg.content
+            if isinstance(content, str):
+                texts.append(content)
+                continue
+            for part in content or []:
+                ptype = part.get("type")
+                if ptype == "text":
+                    texts.append(part.get("text", ""))
+                elif ptype in ("image_url", "image"):
+                    url = (part.get("image_url") or {}).get(
+                        "url", part.get("image"))
+                    images.append(_load_image(url))
+        prompt = " ".join(t for t in texts if t)
+        if not prompt:
+            return _json_error("no text prompt in messages", 400)
+        kwargs: dict[str, Any] = {}
+        if req.seed is not None:
+            kwargs["seed"] = req.seed
+        if images:
+            kwargs["image"] = images if len(images) > 1 else images[0]
+        # generation params via extra_body (reference
+        # serving_chat.py:1048-1074: size/height/width,
+        # num_inference_steps, guidance knobs, negative_prompt, video
+        # frame params); "size" is the "WxH" string form
+        extra = req.extra_body or {}
+        size = extra.get("size")
+        if isinstance(size, str) and "x" in size.lower():
+            try:
+                w, h = size.lower().split("x")
+                kwargs["width"], kwargs["height"] = int(w), int(h)
+            except ValueError:
+                return _json_error(f"invalid size: {size!r}", 400)
+        for key in ("height", "width", "num_inference_steps",
+                    "guidance_scale", "true_cfg_scale", "seed",
+                    "negative_prompt", "num_frames", "guidance_scale_2"):
+            if extra.get(key) is not None:
+                kwargs[key] = extra[key]
+        n = int(extra.get("num_outputs_per_prompt") or req.n)
+        import asyncio
+
+        outs = await asyncio.get_running_loop().run_in_executor(
+            None, lambda: diffusion_engine.generate(
+                [prompt] * n, **kwargs))
+        choices = []
+        for i, o in enumerate(outs):
+            if o.error:
+                return _json_error(o.error, 500)
+            b64 = []
+            for img in o.images or []:
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                b64.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+            choices.append(ChatCompletionChoice(
+                index=i,
+                message={"role": "assistant", "content": None,
+                         "images": b64},
+                finish_reason="stop"))
+        return web.json_response(ChatCompletionResponse(
+            id=f"chatcmpl-{uuid.uuid4().hex[:24]}",
+            model=req.model or model_name,
+            choices=choices, usage=UsageInfo()).model_dump())
 
     async def image_generations(request: web.Request) -> web.Response:
         # parity: /v1/images/generations (reference api_server.py:534-681)

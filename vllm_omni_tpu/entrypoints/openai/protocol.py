@@ -49,6 +49,11 @@ class ChatCompletionRequest(BaseModel):
     # (reference serving_chat.py:459 request-level overrides)
     stage_sampling_params: Optional[dict[str, dict[str, Any]]] = None
     mm_processor_kwargs: Optional[dict[str, Any]] = None
+    # diffusion-chat generation params (reference serving_chat.py:1048-1074
+    # reads these from extra_body: size/height/width, steps, guidance,
+    # true_cfg_scale, negative_prompt, num_outputs_per_prompt, num_frames,
+    # guidance_scale_2)
+    extra_body: Optional[dict[str, Any]] = None
 
 
 class ChatCompletionChoice(BaseModel):
