@@ -68,6 +68,91 @@ def _chunk_kernel(tables_ref, hbm_ref, out_ref, buf, sems, *,
     out_ref[0, :] = buf[0, 0, 0, 0]
 
 
+def _kv_pair_kernel(tables_ref, k_ref, v_ref, out_ref, buf, sems, *,
+                    n_pages, combined):
+    """K+V of one page: either TWO DMAs (split caches, the current
+    decode-kernel schedule) or ONE DMA of a combined [N,2,Hkv,B,D]
+    page (round-3 Next: halve the DMA issue count)."""
+
+    def dma(p):
+        blk = tables_ref[p]
+        slot = p % RING
+        if combined:
+            return [pltpu.make_async_copy(k_ref.at[blk], buf.at[slot],
+                                          sems.at[slot])]
+        return [
+            pltpu.make_async_copy(k_ref.at[blk],
+                                  buf.at[slot, 0], sems.at[slot]),
+            pltpu.make_async_copy(v_ref.at[blk],
+                                  buf.at[slot, 1], sems.at[slot]),
+        ]
+
+    for p in range(n_pages):
+        if p >= RING:
+            for c in dma(p - RING):
+                c.wait()
+        for c in dma(p):
+            c.start()
+    for j in range(min(RING, n_pages)):
+        for c in dma(j):
+            c.wait()
+    out_ref[0, :] = buf[0, 0, 0, 0]
+
+
+def run_kv_pair(name, B, n_pages, combined, reps=5):
+    n_blocks = n_pages + 64
+    if combined:
+        k = jnp.zeros((n_blocks, 2, HKV, B, D), jnp.bfloat16)
+        v = jnp.zeros((1,), jnp.bfloat16)  # unused
+    else:
+        k = jnp.zeros((n_blocks, HKV, B, D), jnp.bfloat16)
+        v = jnp.zeros((n_blocks, HKV, B, D), jnp.bfloat16)
+    tables = jnp.asarray(
+        (np.arange(n_pages) * 16 % n_pages).astype(np.int32))
+    page_bytes = 2 * HKV * B * D * 2  # K+V
+    kern = functools.partial(_kv_pair_kernel, n_pages=n_pages,
+                             combined=combined)
+    scratch = [
+        pltpu.VMEM((RING, 2, HKV, B, D), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((RING,)),
+    ]
+    moved = n_pages * page_bytes
+
+    @functools.partial(jax.jit, static_argnames=("passes",))
+    def go(tables, k, v, passes):
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(passes,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(tables, k, v)
+
+    P1, P2 = 16, 144
+    np.asarray(go(tables, k, v, P1))
+    np.asarray(go(tables, k, v, P2))
+
+    def timed(passes):
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(go(tables, k, v, passes))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = timed(P2) - timed(P1)
+    gbs = moved * (P2 - P1) / dt / 1e9
+    print(f"{name:48s} {moved/1e6:8.1f} MB/pass {dt/(P2-P1)*1e3:7.3f} "
+          f"ms/pass {gbs:7.1f} GB/s")
+    return gbs
+
+
 def run_variant(name, B, n_pages, head_major=True, chunk_pages=0,
                 shuffle=True, reps=5):
     n_blocks = n_pages + 64
@@ -155,6 +240,11 @@ def main():
                     n_tokens // 16, chunk_pages=cp)
     run_variant("chunk-contig head-major B=32 CP=16", 32,
                 n_tokens // 32, chunk_pages=16)
+    for B in (16, 32):
+        run_kv_pair(f"K+V split 2-DMA page-major B={B}", B,
+                    n_tokens // B, combined=False)
+        run_kv_pair(f"K+V combined 1-DMA [N,2,Hkv,B,D] B={B}", B,
+                    n_tokens // B, combined=True)
 
 
 if __name__ == "__main__":
