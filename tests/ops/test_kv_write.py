@@ -117,3 +117,49 @@ def test_deferred_self_column_matches_write_first():
         q, k_c, v_c, k_self=k_self, v_self=v_self, **args)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-6, rtol=2e-6)
+
+
+@pytest.mark.parametrize("pattern", ["prefill", "chunked", "random"])
+def test_write_kv_pages_grouped_matches_scatter(pattern):
+    """Prefill-shaped page-grouped writes (full pages staged in VMEM,
+    partial pages RMW) vs the XLA scatter reference, including pad
+    tokens on the reserved block 0 and multi-request segments."""
+    rng = np.random.default_rng(6)
+    k0 = jnp.asarray(rng.normal(size=(L, N, Hkv, B, D)), jnp.float32)
+    v0 = jnp.asarray(rng.normal(size=(L, N, Hkv, B, D)), jnp.float32)
+    T = 64
+    if pattern == "prefill":
+        # two requests with contiguous slots in scattered blocks + pads
+        blocks_a, blocks_b = [5, 2, 9], [11, 3]
+        slots = (
+            [b * B + o for b in blocks_a for o in range(B)][:40]
+            + [b * B + o for b in blocks_b for o in range(B)][:19]
+            + [0] * 5  # pad tokens
+        )
+    elif pattern == "chunked":
+        # continuation chunk starting mid-block
+        slots = [7 * B + o for o in range(5, B)] + \
+                [4 * B + o for o in range(B)] + \
+                [8 * B + o for o in range(B)]
+        slots += [0] * (T - len(slots))
+    else:
+        slots = list(np.asarray(_slots(T, seed=7)))
+    slots = jnp.asarray(np.asarray(slots, np.int32))
+    k_new = jnp.asarray(rng.normal(size=(T, Hkv, D)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(T, Hkv, D)), jnp.float32)
+
+    k_ref, v_ref = write_kv_layer(k0, v0, 2, k_new, v_new, slots)
+    from vllm_omni_tpu.ops.attention.pallas_kv_write import (
+        write_kv_pages_grouped,
+    )
+
+    k_got, v_got = write_kv_pages_grouped(
+        k0.copy(), v0.copy(), 2, k_new, v_new, slots, interpret=True)
+    # the reserved pad block 0 may legitimately hold garbage rows where
+    # pad tokens fully covered it without a read — compare real blocks
+    np.testing.assert_array_equal(
+        np.asarray(k_got[:, 1:]), np.asarray(k_ref[:, 1:]))
+    np.testing.assert_array_equal(
+        np.asarray(v_got[:, 1:]), np.asarray(v_ref[:, 1:]))
+    # and the pad-token rows themselves are never read, but every REAL
+    # slot on block 0 (none here) would be covered by the 1: slice

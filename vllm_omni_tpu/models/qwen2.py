@@ -173,6 +173,20 @@ class Qwen2ForCausalLM:
         cos, sin = self._cos, self._sin
         k_cache_in, v_cache_in = kv_cache["k"], kv_cache["v"]
 
+        # prefill-shaped steps: the page-grouped write kernel needs the
+        # slot sort — loop-invariant, so compute it ONCE outside the scan
+        kv_groups = None
+        if not defer_kv_write and T > 32:
+            from vllm_omni_tpu import envs
+
+            if envs.is_tpu_platform() and envs.kv_write_backend() != "xla":
+                from vllm_omni_tpu.ops.attention.pallas_kv_write import (
+                    prepare_page_groups,
+                )
+
+                kv_groups = prepare_page_groups(
+                    meta.slot_mapping, k_cache_in.shape[3])
+
         def layer(carry, xs):
             if defer_kv_write:
                 h = carry
@@ -208,7 +222,8 @@ class Qwen2ForCausalLM:
             )
             if not defer_kv_write:
                 k_cache, v_cache = write_kv_auto(
-                    k_cache, v_cache, li, k, v, meta.slot_mapping)
+                    k_cache, v_cache, li, k, v, meta.slot_mapping,
+                    groups=kv_groups)
             # the FULL cache stack + layer index goes to attention: the
             # pallas decode kernel indexes [layer, block] itself, and a
             # traced-index slice of the stack here would make XLA copy

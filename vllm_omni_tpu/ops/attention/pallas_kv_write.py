@@ -29,6 +29,7 @@ Reference role: the vLLM reshape_and_cache CUDA kernel this replaces
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -140,6 +141,165 @@ def write_kv_pages(
         k_cache, v_cache,
         k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
         blk, off, layer, interpret=interpret)
+
+
+# ---------------------------------------------------- prefill page write
+
+
+def prepare_page_groups(
+    slot_mapping: jax.Array,  # [T] int32 flat slot = blk * B + off
+    block_size: int,
+) -> dict[str, jax.Array]:
+    """Sort tokens by slot and derive per-token page-run structure, all
+    with sort/cummax/cummin — NO scatter (an XLA scatter on TPU costs
+    ~50 us per index window; a 512-token prefill write through scatter
+    measured 32 ms for 16 layers, ~500x off memory speed-of-light).
+
+    Returned arrays are in sorted-by-slot order, each [T] int32:
+      sidx   source row in k_new for sorted position t
+      blk    target page
+      off    target row within the page
+      first  1 if t starts a new page run
+      last   1 if t ends its page run
+      rmw    1 if the page is only partially covered by this step's
+             tokens (the kernel must read it before writing)
+    Duplicate slots (pad tokens -> slot 0) form one long run over the
+    reserved pad block 0; its garbage rows are never read (write_kv
+    contract, see module docstring).
+    """
+    T = slot_mapping.shape[0]
+    ar = jnp.arange(T, dtype=jnp.int32)
+    sidx = jnp.argsort(slot_mapping).astype(jnp.int32)
+    ss = jnp.take(slot_mapping, sidx)
+    pid = (ss // block_size).astype(jnp.int32)
+    off = (ss % block_size).astype(jnp.int32)
+    change = pid[1:] != pid[:-1]
+    one = jnp.ones((1,), jnp.bool_)
+    first = jnp.concatenate([one, change])
+    last = jnp.concatenate([change, one])
+    # run extents: carry the most recent boundary index through the run
+    starts = jax.lax.cummax(jnp.where(first, ar, -1))
+    ends = jnp.flip(
+        jax.lax.cummin(jnp.where(jnp.flip(last), jnp.flip(ar), T)))
+    rmw = ((ends - starts + 1) < block_size).astype(jnp.int32)
+    return {
+        "sidx": sidx, "blk": pid, "off": off,
+        "first": first.astype(jnp.int32), "last": last.astype(jnp.int32),
+        "rmw": rmw,
+    }
+
+
+def _kv_write_grouped_kernel(
+    # scalar prefetch (sorted-by-slot order)
+    sidx_ref, blk_ref, off_ref, first_ref, last_ref, rmw_ref,
+    layer_ref,  # [1]
+    # inputs
+    k_new_ref,  # [T, Hkv, D] VMEM
+    v_new_ref,
+    k_in_ref, v_in_ref,  # ANY (aliased)
+    k_out_ref, v_out_ref,  # [L, N, Hkv, B, D] ANY
+    k_page, v_page, sem,
+    *,
+    tokens_per_step: int,
+):
+    g = pl.program_id(0)
+    li = layer_ref[0]
+    B = k_page.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1)
+    for c in range(tokens_per_step):
+        t = g * tokens_per_step + c
+        blk = blk_ref[t]
+
+        # partially-covered page: read it before overwriting rows
+        @pl.when((first_ref[t] == 1) & (rmw_ref[t] == 1))
+        def _page_in():
+            kc = pltpu.make_async_copy(
+                k_out_ref.at[li, blk], k_page, sem.at[0])
+            vc = pltpu.make_async_copy(
+                v_out_ref.at[li, blk], v_page, sem.at[1])
+            kc.start()
+            vc.start()
+            kc.wait()
+            vc.wait()
+
+        tok = sidx_ref[t]
+        hit = row == off_ref[t]
+        k_page[...] = jnp.where(hit, k_new_ref[tok][:, None, :], k_page[...])
+        v_page[...] = jnp.where(hit, v_new_ref[tok][:, None, :], v_page[...])
+
+        @pl.when(last_ref[t] == 1)
+        def _page_out():
+            kc = pltpu.make_async_copy(
+                k_page, k_out_ref.at[li, blk], sem.at[0])
+            vc = pltpu.make_async_copy(
+                v_page, v_out_ref.at[li, blk], sem.at[1])
+            kc.start()
+            vc.start()
+            kc.wait()
+            vc.wait()
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("interpret",))
+def _kv_write_grouped_call(k_cache, v_cache, k_new, v_new, groups, layer,
+                           interpret=False):
+    T = k_new.shape[0]
+    _, _, Hkv, B, D = k_cache.shape
+    C = 16
+    while T % C:
+        C //= 2
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kv_write_grouped_kernel, tokens_per_step=C),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(T // C,),
+            in_specs=[vmem, vmem, any_spec, any_spec],
+            out_specs=[any_spec, any_spec],
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, B, D), k_cache.dtype),
+                pltpu.VMEM((Hkv, B, D), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={9: 0, 10: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential page runs
+        ),
+        interpret=interpret,
+    )(groups["sidx"], groups["blk"], groups["off"], groups["first"],
+      groups["last"], groups["rmw"], layer, k_new, v_new, k_cache, v_cache)
+    return out[0], out[1]
+
+
+def write_kv_pages_grouped(
+    k_cache: jax.Array,  # [L, N, Hkv, B, D]
+    v_cache: jax.Array,
+    layer,  # int or traced scalar
+    k_new: jax.Array,  # [T, Hkv, D]
+    v_new: jax.Array,
+    slot_mapping: jax.Array,  # [T] int32
+    groups: Optional[dict] = None,  # prepare_page_groups result
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """In-place prefill-shaped KV write for one layer: tokens stream in
+    slot order, whole pages stage in VMEM and DMA out once per page;
+    only partially-covered pages are read first. Traffic is ~the bytes
+    actually written (vs XLA scatter's per-index serialization, and vs
+    the per-token decode kernel's full page RMW per token)."""
+    B = k_cache.shape[3]
+    if groups is None:
+        groups = prepare_page_groups(slot_mapping, B)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    return _kv_write_grouped_call(
+        k_cache, v_cache,
+        k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype),
+        groups, layer, interpret=interpret)
 
 
 # ------------------------------------------------------- all-layer write

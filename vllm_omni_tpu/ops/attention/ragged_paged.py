@@ -93,31 +93,45 @@ def write_kv_auto(
     k_new: jax.Array,  # [T, Hkv, D]
     v_new: jax.Array,
     slot_mapping: jax.Array,
+    groups: Optional[dict] = None,  # prepare_page_groups(slot_mapping)
 ) -> tuple[jax.Array, jax.Array]:
     """Layer-indexed KV write, backend-dispatched.
 
-    Decode-shaped steps (small T) on TPU route to the Pallas in-place
-    page-RMW kernel (pallas_kv_write.py) — XLA lowers the equivalent
-    scatter as a full-cache copy, which caps decode throughput by cache
-    size. Larger T (prefill/mixed) keeps the XLA scatter, whose copy
-    cost amortizes over the many tokens written."""
+    On TPU every shape routes to an in-place Pallas kernel
+    (pallas_kv_write.py) — XLA lowers the equivalent scatter as ~50 us
+    PER INDEX WINDOW of serialized work (a 512-token prefill write
+    measured 32 ms across 16 layers, ~500x off memory speed-of-light).
+    Decode-shaped steps (small T) use the per-token page-RMW kernel;
+    prefill-shaped steps use the page-grouped kernel (tokens sorted by
+    slot, whole pages staged in VMEM, one DMA out per page). Callers
+    running the write inside a layer scan should precompute `groups`
+    once outside the scan (prepare_page_groups) — it holds the sort of
+    slot_mapping, which is loop-invariant."""
     from vllm_omni_tpu import envs
 
     T = k_new.shape[0]
     B, D = k_cache.shape[3], k_cache.shape[4]
-    if (envs.is_tpu_platform() and T <= 32 and D % 128 == 0 and B % 8 == 0
+    if (envs.is_tpu_platform() and D % 128 == 0 and B % 8 == 0
             and envs.kv_write_backend() != "xla"):
-        from vllm_omni_tpu.ops.attention.pallas_kv_write import (
-            write_kv_pages,
-        )
-
         # narrow KV caches (fp8): convert outside the kernel, the page
         # RMW itself is dtype-agnostic byte traffic
         k_new = k_new.astype(k_cache.dtype)
         v_new = v_new.astype(v_cache.dtype)
 
-        return write_kv_pages(
-            k_cache, v_cache, layer, k_new, v_new, slot_mapping)
+        if T <= 32:
+            from vllm_omni_tpu.ops.attention.pallas_kv_write import (
+                write_kv_pages,
+            )
+
+            return write_kv_pages(
+                k_cache, v_cache, layer, k_new, v_new, slot_mapping)
+        from vllm_omni_tpu.ops.attention.pallas_kv_write import (
+            write_kv_pages_grouped,
+        )
+
+        return write_kv_pages_grouped(
+            k_cache, v_cache, layer, k_new, v_new, slot_mapping,
+            groups=groups)
     return write_kv_layer(
         k_cache, v_cache, layer, k_new, v_new, slot_mapping)
 
