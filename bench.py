@@ -121,6 +121,22 @@ def main():
     tps = statistics.median(vals)
 
     extra = {}
+    # ---- tunnel RTT floor: host-side latency metrics (TTFT, VAE ms)
+    # include one dispatch+fetch round trip over the device tunnel;
+    # record it so day-to-day tunnel weather is attributable (measured
+    # 5-30 ms across sessions on the same code)
+    import jax as _jax
+    import numpy as _np
+    _tiny = _jax.jit(lambda x: x + 1)
+    _x = _jax.numpy.ones((8,), _jax.numpy.float32)
+    _np.asarray(_tiny(_x))
+    _rtts = []
+    for _ in range(10):
+        _t0 = time.perf_counter()
+        _np.asarray(_tiny(_x))
+        _rtts.append((time.perf_counter() - _t0) * 1000)
+    extra["tunnel_rtt_ms"] = round(statistics.median(_rtts), 2)
+
     # ---- prefill TTFT: fresh single request, time to first token
     if os.environ.get("BENCH_TTFT", "1") == "1":
         sp1 = SamplingParams(temperature=0.0, max_tokens=1, ignore_eos=True,

@@ -90,7 +90,12 @@ def wan_rope_angles(cfg: WanTransformerConfig, f: int, h: int, w: int):
 
 def apply_wan_rope(x: jax.Array, angles: jax.Array) -> jax.Array:
     """x [B, S, H, D]; pair-interleaved rotation (reference
-    apply_rotary_emb_wan, wan2_2_transformer.py:24-46)."""
+    apply_rotary_emb_wan, wan2_2_transformer.py:24-46).
+
+    Reference/fallback formulation: the [..., D//2, 2] reshape puts a
+    2-wide trailing axis in the lane dimension — a layout TPU relayouts
+    at great cost on long sequences. Production path is
+    apply_wan_rope_mm below."""
     B, S, H, D = x.shape
     xf = x.astype(jnp.float32).reshape(B, S, H, D // 2, 2)
     x1, x2 = xf[..., 0], xf[..., 1]
@@ -98,6 +103,36 @@ def apply_wan_rope(x: jax.Array, angles: jax.Array) -> jax.Array:
     sin = jnp.sin(angles)[None, :, None, :]
     out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
     return out.reshape(B, S, H, D).astype(x.dtype)
+
+
+def wan_rope_tables(angles: jax.Array):
+    """Interleave-duplicated cos/sin [S, D] + the [D, D] pair-rotation
+    matrix for apply_wan_rope_mm. rot moves x[2i] -> out[2i+1] and
+    -x[2i+1] -> out[2i] (exact: values are only permuted/negated)."""
+    cos = jnp.repeat(jnp.cos(angles), 2, axis=1)
+    sin = jnp.repeat(jnp.sin(angles), 2, axis=1)
+    D = angles.shape[1] * 2
+    rot = np.zeros((D, D), np.float32)
+    idx = np.arange(0, D, 2)
+    rot[idx + 1, idx] = -1.0
+    rot[idx, idx + 1] = 1.0
+    return cos, sin, jnp.asarray(rot)
+
+
+def apply_wan_rope_mm(x: jax.Array, cos: jax.Array, sin: jax.Array,
+                      rot: jax.Array) -> jax.Array:
+    """Lane-layout-native rope: out = x*cos + (x@rot)*sin.
+
+    The pair swap/negate runs as one tiny [D, D] matmul on the MXU
+    (values unchanged — rot is a signed permutation, exact in bf16),
+    so no 2-wide trailing-axis relayout ever materializes. Same math
+    as apply_wan_rope: out[2i] = x[2i]cos - x[2i+1]sin,
+    out[2i+1] = x[2i+1]cos + x[2i]sin, accumulated in f32."""
+    xr = jax.lax.dot_general(
+        x, rot.astype(x.dtype), (((3,), (0,)), ((), ())))
+    out = (x.astype(jnp.float32) * cos[None, :, None, :]
+           + xr.astype(jnp.float32) * sin[None, :, None, :])
+    return out.astype(x.dtype)
 
 
 def _rms_full(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
