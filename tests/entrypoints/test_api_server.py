@@ -223,3 +223,112 @@ def test_multimodal_content_parsing():
     assert len(mm["audio"]) == 1 and len(mm["audio"][0]) == 1600
     assert "<|IMAGE|>" in msgs[0]["content"]
     assert "<|AUDIO|>" in msgs[0]["content"]
+
+
+class FakeAsyncOmniN:
+    """Per-request-distinct fake: records every call's sampling params
+    and emits text/logprobs keyed by request id (n>1 + logprobs
+    parity: reference serving_chat.py:630-687)."""
+
+    def __init__(self):
+        self.calls = []
+
+    async def generate(self, prompt, request_id=None, sampling_params=None,
+                       output_modality=None, stream=False):
+        self.calls.append((request_id, sampling_params))
+        ro = RequestOutput(
+            request_id=request_id, prompt=None, prompt_token_ids=[1, 2, 3],
+            outputs=[CompletionOutput(
+                index=0, text=f"resp-{request_id}", token_ids=[7, 8],
+                logprobs=[{7: -0.1, 9: -2.0}, {8: -0.3, 4: -1.5}],
+                finish_reason="stop")],
+            finished=True,
+        )
+        yield OmniRequestOutput.from_stage(request_id, 0, "text", ro)
+
+    async def check_health(self):
+        return None
+
+
+def test_chat_n_choices_with_shifted_seeds():
+    async def go():
+        eng = FakeAsyncOmniN()
+        async with make_client(engine_client=eng) as c:
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "n": 3, "seed": 7, "max_tokens": 4,
+                "modalities": ["text"],
+            })
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            choices = body["choices"]
+            assert [ch["index"] for ch in choices] == [0, 1, 2]
+            texts = {ch["message"]["content"] for ch in choices}
+            assert len(texts) == 3  # per-index sub-requests, all distinct
+            # explicit seed shifts per choice index: 7, 8, 9
+            seeds = sorted(sp[0].seed for _, sp in eng.calls)
+            assert seeds == [7, 8, 9]
+            # usage sums completion tokens over choices
+            assert body["usage"]["completion_tokens"] == 6
+
+    run(go())
+
+
+def test_chat_logprobs_response():
+    async def go():
+        eng = FakeAsyncOmniN()
+        async with make_client(engine_client=eng) as c:
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "logprobs": True, "top_logprobs": 2,
+                "modalities": ["text"],
+            })
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            lp = body["choices"][0]["logprobs"]
+            assert lp is not None
+            content = lp["content"]
+            assert len(content) == 2
+            assert content[0]["logprob"] == pytest.approx(-0.1)
+            assert content[1]["logprob"] == pytest.approx(-0.3)
+            assert len(content[0]["top_logprobs"]) == 2
+            tops = [t["logprob"] for t in content[0]["top_logprobs"]]
+            assert tops == sorted(tops, reverse=True)
+            assert isinstance(content[0]["bytes"], list)
+            # engine was asked for 2 top logprobs
+            assert eng.calls[0][1][0].logprobs == 2
+
+    run(go())
+
+
+def test_chat_stream_n_choices_and_logprobs():
+    import json as _json
+
+    async def go():
+        eng = FakeAsyncOmniN()
+        async with make_client(engine_client=eng) as c:
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "n": 2, "stream": True, "logprobs": True,
+                "modalities": ["text"],
+            })
+            assert r.status == 200
+            body = await r.text()
+            lines = [ln[len("data: "):] for ln in body.splitlines()
+                     if ln.startswith("data: ") and "[DONE]" not in ln]
+            chunks = [_json.loads(ln) for ln in lines]
+            idxs = {ch["choices"][0]["index"] for ch in chunks}
+            assert idxs == {0, 1}
+            # both choices finish
+            finishes = [ch["choices"][0] for ch in chunks
+                        if ch["choices"][0].get("finish_reason")]
+            assert len(finishes) == 2
+            # content chunks carry logprobs entries
+            lp_chunks = [ch for ch in chunks
+                         if ch["choices"][0].get("logprobs")]
+            assert lp_chunks, "no streamed logprobs"
+            ent = lp_chunks[0]["choices"][0]["logprobs"]["content"][0]
+            assert "logprob" in ent and "token" in ent
+            assert body.rstrip().endswith("data: [DONE]")
+
+    run(go())

@@ -34,6 +34,12 @@ class ChatCompletionRequest(BaseModel):
     frequency_penalty: Optional[float] = None
     repetition_penalty: Optional[float] = None
     n: int = 1
+    # OpenAI logprobs surface (reference serving_chat.py:634-646
+    # out_logprobs -> _create_chat_logprobs): logprobs=true returns each
+    # sampled token's logprob; top_logprobs additionally returns the k
+    # most likely alternatives per position
+    logprobs: bool = False
+    top_logprobs: Optional[int] = None
     stream: bool = False
     modalities: Optional[list[str]] = None  # ["text"], ["text", "audio"]
     audio: Optional[dict[str, Any]] = None  # {"voice": ..., "format": ...}
@@ -59,6 +65,9 @@ class ChatCompletionRequest(BaseModel):
 class ChatCompletionChoice(BaseModel):
     index: int
     message: dict[str, Any]
+    # OpenAI format: {"content": [{"token", "logprob", "bytes",
+    # "top_logprobs": [...]}, ...]}
+    logprobs: Optional[dict[str, Any]] = None
     finish_reason: Optional[str] = None
 
 

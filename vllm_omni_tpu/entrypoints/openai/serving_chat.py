@@ -12,6 +12,7 @@ parser (chat_utils.py:42-127) minus URL downloads (no egress here).
 from __future__ import annotations
 
 import base64
+import dataclasses
 import io
 import uuid
 from typing import Any, Optional
@@ -214,6 +215,11 @@ class OmniOpenAIServingChat:
             base_overrides["max_tokens"] = mt
         if request.stop is not None:
             base_overrides["stop"] = request.stop
+        if request.logprobs:
+            # engine-side logprobs: k top alternatives + the sampled
+            # token per position (engine/core.py); k=1 when only the
+            # sampled token's logprob was asked for
+            base_overrides["logprobs"] = max(1, request.top_logprobs or 0)
         for k in ("presence_penalty", "frequency_penalty", "repetition_penalty"):
             v = getattr(request, k)
             if v is not None:
@@ -254,6 +260,63 @@ class OmniOpenAIServingChat:
                 return {"json": {"type": "object", "properties": {}}}
         return None
 
+    def _token_str(self, tid: int) -> str:
+        if self.tokenizer is not None:
+            try:
+                toks = self.tokenizer.convert_ids_to_tokens([int(tid)])
+                if toks and toks[0] is not None:
+                    return str(toks[0])
+            except Exception:
+                pass
+            try:
+                return self.tokenizer.decode([int(tid)])
+            except Exception:
+                pass
+        return f"token_id:{tid}"
+
+    def _format_logprobs(self, comp, top_k: int) -> Optional[dict]:
+        """Engine logprobs (list of {token_id: logprob} per position,
+        sampled token always present) -> the OpenAI chat logprobs object
+        (reference _create_chat_logprobs, serving_chat.py:636-646)."""
+        if not comp.logprobs:
+            return None
+        content = []
+        for tid, entry in zip(comp.token_ids, comp.logprobs):
+            tid = int(tid)
+            tok = self._token_str(tid)
+            lp = float(entry.get(tid, 0.0))
+            item: dict[str, Any] = {
+                "token": tok,
+                "logprob": lp,
+                "bytes": list(tok.encode("utf-8")),
+            }
+            if top_k > 0:
+                alts = sorted(entry.items(), key=lambda kv: -kv[1])[:top_k]
+                item["top_logprobs"] = [{
+                    "token": self._token_str(int(a_id)),
+                    "logprob": float(a_lp),
+                    "bytes": list(self._token_str(int(a_id)).encode("utf-8")),
+                } for a_id, a_lp in alts]
+            content.append(item)
+        return {"content": content}
+
+    @staticmethod
+    def _sampling_for_index(
+        sampling: dict[int, SamplingParams], index: int
+    ) -> dict[int, SamplingParams]:
+        """Per-choice sampling for n>1: explicit seeds shift by the
+        choice index (seed, seed+1, ...) so choices are reproducible yet
+        distinct; unseeded requests draw fresh engine entropy per
+        sub-request already (scheduler seed=None semantics)."""
+        if index == 0:
+            return sampling
+        out: dict[int, SamplingParams] = {}
+        for sid, sp in sampling.items():
+            if sp.seed is not None:
+                sp = dataclasses.replace(sp, seed=int(sp.seed) + index)
+            out[sid] = sp
+        return out
+
     def _render_prompt(self, messages: list[dict[str, str]]):
         if self.tokenizer is not None:
             ids = self.tokenizer.apply_chat_template(
@@ -272,6 +335,7 @@ class OmniOpenAIServingChat:
         stream per-chunk PCM as `delta.audio.data` (b64) as the codec
         decodes, so time-to-first-audio is one chunk's decode, not the
         full utterance."""
+        import asyncio
         import json as _json
         import time as _time
 
@@ -288,82 +352,121 @@ class OmniOpenAIServingChat:
         output_modality = "text" if modalities == ["text"] else None
         created = int(_time.time())
         model = request.model or self.model_name
+        n = max(1, int(request.n or 1))
 
-        def chunk(delta: dict, finish_reason=None) -> str:
+        def chunk(index: int, delta: dict, finish_reason=None,
+                  logprobs=None) -> str:
+            choice: dict[str, Any] = {"index": index, "delta": delta,
+                                      "finish_reason": finish_reason}
+            if logprobs is not None:
+                choice["logprobs"] = logprobs
             return "data: " + _json.dumps({
                 "id": request_id,
                 "object": "chat.completion.chunk",
                 "created": created,
                 "model": model,
-                "choices": [{"index": 0, "delta": delta,
-                             "finish_reason": finish_reason}],
+                "choices": [choice],
             }) + "\n\n"
 
-        yield chunk({"role": "assistant"})
-        sent_text = 0
-        finish_reason = None
-        async for out in self.engine.generate(
-            prompt, request_id=request_id,
-            sampling_params=sampling or None,
-            output_modality=output_modality, stream=True,
-        ):
-            ro = out.request_output
-            if ro is None:
-                continue
-            comp = ro.outputs[0]
-            if out.final_output_type == "text":
-                text = comp.text or ""
-                if len(text) > sent_text:
-                    yield chunk({"content": text[sent_text:]})
-                    sent_text = len(text)
-                if not out.partial:
-                    finish_reason = comp.finish_reason or "stop"
-            elif out.final_output_type == "audio":
-                mmout = comp.multimodal_output or {}
-                wav_chunk = mmout.get("waveform_chunk")
-                if wav_chunk is None and not out.partial:
-                    wav_chunk = mmout.get("waveform")
-                    if wav_chunk is None:
-                        wav_chunk = mmout.get("audio")
-                if wav_chunk is not None:
-                    from vllm_omni_tpu.entrypoints.audio_utils import (
-                        waveform_to_pcm_bytes,
-                    )
+        async def stream_one(index: int, emit):
+            """One engine request -> per-choice SSE chunks via emit()."""
+            await emit(chunk(index, {"role": "assistant"}))
+            sent_text = 0
+            sent_lp = 0
+            finish_reason = None
+            async for out in self.engine.generate(
+                prompt,
+                request_id=(request_id if n == 1
+                            else f"{request_id}-{index}"),
+                sampling_params=self._sampling_for_index(
+                    sampling, index) or None,
+                output_modality=output_modality, stream=True,
+            ):
+                ro = out.request_output
+                if ro is None:
+                    continue
+                comp = ro.outputs[0]
+                if out.final_output_type == "text":
+                    text = comp.text or ""
+                    lp_delta = None
+                    if request.logprobs and comp.logprobs:
+                        new = comp.logprobs[sent_lp:]
+                        if new:
+                            from types import SimpleNamespace
 
-                    yield chunk({"audio": {
-                        "id": f"audio-{uuid.uuid4().hex[:16]}",
-                        "data": base64.b64encode(waveform_to_pcm_bytes(
-                            np.asarray(wav_chunk))).decode("ascii"),
-                        "format": "pcm16",
-                    }})
-        yield chunk({}, finish_reason=finish_reason or "stop")
+                            lp_delta = self._format_logprobs(
+                                SimpleNamespace(
+                                    token_ids=comp.token_ids[sent_lp:],
+                                    logprobs=new),
+                                request.top_logprobs or 0)
+                            sent_lp += len(new)
+                    if len(text) > sent_text or lp_delta is not None:
+                        await emit(chunk(
+                            index, {"content": text[sent_text:]},
+                            logprobs=lp_delta))
+                        sent_text = len(text)
+                    if not out.partial:
+                        finish_reason = comp.finish_reason or "stop"
+                elif out.final_output_type == "audio":
+                    mmout = comp.multimodal_output or {}
+                    wav_chunk = mmout.get("waveform_chunk")
+                    if wav_chunk is None and not out.partial:
+                        wav_chunk = mmout.get("waveform")
+                        if wav_chunk is None:
+                            wav_chunk = mmout.get("audio")
+                    if wav_chunk is not None:
+                        from vllm_omni_tpu.entrypoints.audio_utils import (
+                            waveform_to_pcm_bytes,
+                        )
+
+                        await emit(chunk(index, {"audio": {
+                            "id": f"audio-{uuid.uuid4().hex[:16]}",
+                            "data": base64.b64encode(waveform_to_pcm_bytes(
+                                np.asarray(wav_chunk))).decode("ascii"),
+                            "format": "pcm16",
+                        }}))
+            await emit(chunk(index, {},
+                             finish_reason=finish_reason or "stop"))
+
+        # run the n choices concurrently and interleave their chunks
+        # (n == 1 degenerates to a single producer on the same queue)
+        q: asyncio.Queue = asyncio.Queue()
+
+        async def runner(i):
+            try:
+                await stream_one(i, q.put)
+            finally:
+                await q.put(None)
+
+        tasks = [asyncio.ensure_future(runner(i)) for i in range(n)]
+        done = 0
+        while done < n:
+            item = await q.get()
+            if item is None:
+                done += 1
+                continue
+            yield item
+        for t in tasks:
+            await t  # surface exceptions
         yield "data: [DONE]\n\n"
 
-    async def create_chat_completion(
-        self, request: ChatCompletionRequest
-    ) -> ChatCompletionResponse:
-        if request.stream:
-            raise ValueError(
-                "use create_chat_completion_stream for stream=True")
-        messages, mm = parse_chat_content(
-            request.messages, request.mm_processor_kwargs)
-        prompt = self._render_prompt(messages)
-        if mm:
-            prompt["multi_modal_data"] = mm
-            if request.mm_processor_kwargs:
-                prompt["mm_processor_kwargs"] = request.mm_processor_kwargs
-        sampling = self._build_sampling(request)
-        modalities = request.modalities or ["text"]
-        request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
-
+    async def _generate_choice(
+        self,
+        request: ChatCompletionRequest,
+        prompt: dict,
+        sampling: dict[int, SamplingParams],
+        request_id: str,
+        output_modality: Optional[str],
+        index: int,
+    ) -> tuple[ChatCompletionChoice, UsageInfo]:
+        """Run one engine request and assemble one response choice."""
         message: dict[str, Any] = {"role": "assistant", "content": None}
         finish_reason = None
+        logprobs_obj = None
         usage = UsageInfo()
-        output_modality = None
-        if modalities == ["text"]:
-            output_modality = "text"
         async for out in self.engine.generate(
-            prompt, request_id=request_id, sampling_params=sampling or None,
+            prompt, request_id=request_id,
+            sampling_params=self._sampling_for_index(sampling, index) or None,
             output_modality=output_modality,
         ):
             ro = out.request_output
@@ -373,6 +476,9 @@ class OmniOpenAIServingChat:
                 finish_reason = comp.finish_reason
                 usage.prompt_tokens = len(ro.prompt_token_ids)
                 usage.completion_tokens = len(comp.token_ids)
+                if request.logprobs:
+                    logprobs_obj = self._format_logprobs(
+                        comp, request.top_logprobs or 0)
             elif out.final_output_type == "audio":
                 wavef = None
                 if ro is not None and ro.outputs[0].multimodal_output:
@@ -393,10 +499,49 @@ class OmniOpenAIServingChat:
                     base64.b64encode(buf.getvalue()).decode("ascii")
                 ]
         usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
+        return ChatCompletionChoice(
+            index=index, message=message, logprobs=logprobs_obj,
+            finish_reason=finish_reason), usage
+
+    async def create_chat_completion(
+        self, request: ChatCompletionRequest
+    ) -> ChatCompletionResponse:
+        if request.stream:
+            raise ValueError(
+                "use create_chat_completion_stream for stream=True")
+        import asyncio
+
+        messages, mm = parse_chat_content(
+            request.messages, request.mm_processor_kwargs)
+        prompt = self._render_prompt(messages)
+        if mm:
+            prompt["multi_modal_data"] = mm
+            if request.mm_processor_kwargs:
+                prompt["mm_processor_kwargs"] = request.mm_processor_kwargs
+        sampling = self._build_sampling(request)
+        modalities = request.modalities or ["text"]
+        request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        output_modality = "text" if modalities == ["text"] else None
+
+        # n>1 = parallel sampling (reference serving_chat.py:630-687
+        # iterates final_res.outputs): fan out n engine requests that
+        # continuous-batch together; explicit seeds shift per index
+        n = max(1, int(request.n or 1))
+        results = await asyncio.gather(*[
+            self._generate_choice(
+                request, prompt, sampling,
+                request_id if n == 1 else f"{request_id}-{i}",
+                output_modality, i)
+            for i in range(n)
+        ])
+        usage = UsageInfo()
+        for _, u in results:
+            usage.prompt_tokens = max(usage.prompt_tokens, u.prompt_tokens)
+            usage.completion_tokens += u.completion_tokens
+        usage.total_tokens = usage.prompt_tokens + usage.completion_tokens
         return ChatCompletionResponse(
             id=request_id,
             model=request.model or self.model_name,
-            choices=[ChatCompletionChoice(
-                index=0, message=message, finish_reason=finish_reason)],
+            choices=[c for c, _ in results],
             usage=usage,
         )

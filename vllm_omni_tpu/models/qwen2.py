@@ -176,16 +176,19 @@ class Qwen2ForCausalLM:
         # prefill-shaped steps: the page-grouped write kernel needs the
         # slot sort — loop-invariant, so compute it ONCE outside the scan
         kv_groups = None
-        if not defer_kv_write and T > 32:
-            from vllm_omni_tpu import envs
+        if not defer_kv_write:
+            from vllm_omni_tpu.ops.attention.ragged_paged import (
+                uses_grouped_kv_write,
+            )
 
-            if envs.is_tpu_platform() and envs.kv_write_backend() != "xla":
+            _, _, hkv_c, b_c, d_c = k_cache_in.shape
+            if uses_grouped_kv_write(
+                    T, hkv_c, b_c, d_c, k_cache_in.dtype.itemsize):
                 from vllm_omni_tpu.ops.attention.pallas_kv_write import (
                     prepare_page_groups,
                 )
 
-                kv_groups = prepare_page_groups(
-                    meta.slot_mapping, k_cache_in.shape[3])
+                kv_groups = prepare_page_groups(meta.slot_mapping, b_c)
 
         def layer(carry, xs):
             if defer_kv_write:

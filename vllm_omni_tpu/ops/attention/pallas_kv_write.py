@@ -181,6 +181,12 @@ def prepare_page_groups(
     starts = jax.lax.cummax(jnp.where(first, ar, -1))
     ends = jnp.flip(
         jax.lax.cummin(jnp.where(jnp.flip(last), jnp.flip(ar), T)))
+    # full-page coverage is detected by run LENGTH, which equals the
+    # count of DISTINCT offsets only under the slot-uniqueness contract
+    # (each real slot at most once per call; duplicates only on reserved
+    # pad block 0, whose rows are never read) — see write_kv_auto's
+    # docstring in ragged_paged.py. A duplicate real slot would make a
+    # partial page look fully covered and skip the page read.
     rmw = ((ends - starts + 1) < block_size).astype(jnp.int32)
     return {
         "sidx": sidx, "blk": pid, "off": off,

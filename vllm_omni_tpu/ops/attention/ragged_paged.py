@@ -86,6 +86,34 @@ def write_kv_layer(
     return k_cache, v_cache
 
 
+# The grouped prefill kernel stages the FULL k_new/v_new [T, Hkv, D]
+# in VMEM (whole-array BlockSpecs). Cap the combined staging footprint
+# well under Mosaic's VMEM budget (~128 MiB on v5e, shared with the
+# page scratch): stage configs allow max_num_batched_tokens up to 32k,
+# which at Hkv=8/D=128/bf16 would be ~128 MiB of K+V and fail to
+# compile. Above the cap the write falls back to the XLA scatter.
+_GROUPED_KV_VMEM_CAP_BYTES = 48 * 1024 * 1024
+
+
+def _pallas_kv_write_ok(B: int, D: int) -> bool:
+    from vllm_omni_tpu import envs
+
+    return (envs.is_tpu_platform() and D % 128 == 0 and B % 8 == 0
+            and envs.kv_write_backend() != "xla")
+
+
+def uses_grouped_kv_write(T: int, Hkv: int, B: int, D: int,
+                          itemsize: int = 2) -> bool:
+    """Single dispatch predicate for the page-grouped prefill KV-write
+    kernel — shared by write_kv_auto and by callers that precompute
+    `prepare_page_groups` outside a layer scan (e.g. models/qwen2.py),
+    so the two conditions cannot silently diverge."""
+    if not _pallas_kv_write_ok(B, D):
+        return False
+    staged = 2 * T * Hkv * D * itemsize  # k_new + v_new in VMEM
+    return T > 32 and staged <= _GROUPED_KV_VMEM_CAP_BYTES
+
+
 def write_kv_auto(
     k_cache: jax.Array,  # [L, N_blk, Hkv, B, D]
     v_cache: jax.Array,
@@ -103,16 +131,24 @@ def write_kv_auto(
     measured 32 ms across 16 layers, ~500x off memory speed-of-light).
     Decode-shaped steps (small T) use the per-token page-RMW kernel;
     prefill-shaped steps use the page-grouped kernel (tokens sorted by
-    slot, whole pages staged in VMEM, one DMA out per page). Callers
-    running the write inside a layer scan should precompute `groups`
-    once outside the scan (prepare_page_groups) — it holds the sort of
-    slot_mapping, which is loop-invariant."""
-    from vllm_omni_tpu import envs
+    slot, whole pages staged in VMEM, one DMA out per page) up to a
+    VMEM staging cap (uses_grouped_kv_write), beyond which the XLA
+    scatter takes over. Callers running the write inside a layer scan
+    should precompute `groups` once outside the scan
+    (prepare_page_groups) — it holds the sort of slot_mapping, which is
+    loop-invariant.
 
+    Slot-uniqueness contract: each REAL slot appears at most once in
+    slot_mapping per call (the scheduler assigns each new token its own
+    slot); duplicates are only the pad tokens routed to reserved pad
+    block 0. The grouped kernel's full-page-coverage test counts run
+    LENGTH, so duplicate real slots would skip the page read and leak
+    uninitialized scratch into uncovered rows — any future caller that
+    rewrites a live slot twice in one step (e.g. speculative replay)
+    must re-issue as separate steps or use the XLA path."""
     T = k_new.shape[0]
-    B, D = k_cache.shape[3], k_cache.shape[4]
-    if (envs.is_tpu_platform() and D % 128 == 0 and B % 8 == 0
-            and envs.kv_write_backend() != "xla"):
+    Hkv, B, D = k_cache.shape[2], k_cache.shape[3], k_cache.shape[4]
+    if _pallas_kv_write_ok(B, D):
         # narrow KV caches (fp8): convert outside the kernel, the page
         # RMW itself is dtype-agnostic byte traffic
         k_new = k_new.astype(k_cache.dtype)
@@ -125,13 +161,14 @@ def write_kv_auto(
 
             return write_kv_pages(
                 k_cache, v_cache, layer, k_new, v_new, slot_mapping)
-        from vllm_omni_tpu.ops.attention.pallas_kv_write import (
-            write_kv_pages_grouped,
-        )
+        if uses_grouped_kv_write(T, Hkv, B, D, k_cache.dtype.itemsize):
+            from vllm_omni_tpu.ops.attention.pallas_kv_write import (
+                write_kv_pages_grouped,
+            )
 
-        return write_kv_pages_grouped(
-            k_cache, v_cache, layer, k_new, v_new, slot_mapping,
-            groups=groups)
+            return write_kv_pages_grouped(
+                k_cache, v_cache, layer, k_new, v_new, slot_mapping,
+                groups=groups)
     return write_kv_layer(
         k_cache, v_cache, layer, k_new, v_new, slot_mapping)
 
