@@ -30,6 +30,19 @@ class StageRuntimeConfig:
     # orchestrator builds a RemoteStage proxy instead of a local engine
     # (multi-host placement; the reference's Ray backend role)
     remote: str = ""
+    # optional shell template to (re)launch the host at `remote`
+    # ("ssh {host} python -m vllm_omni_tpu.stages.remote --config ...
+    #   --port {port}"); placeholders: {host} {port} {config}. With it,
+    # a dead/unresponsive remote host is relaunched and its in-flight
+    # requests re-submitted (the reference's Ray actor-restart intent);
+    # without it, recovery waits for the address to come back.
+    relaunch_cmd: str = ""
+    # protocol health-check cadence for remote/supervised hosts: a ping
+    # every `ping_interval` seconds; no pong for `ping_timeout` seconds
+    # marks the host down (wedged-process detection — a crash is caught
+    # faster by the reader's connection error). <=0 disables.
+    ping_interval: float = 5.0
+    ping_timeout: float = 20.0
     max_batch_size: int = 8
     batch_timeout: float = 0.02
     # edge-keyed connector specs: {"0->1": {"type": "inproc", ...}}
@@ -77,6 +90,7 @@ class StageConfig:
                 "callable) for a remote/supervised stage")
         runtime = dataclasses.asdict(self.runtime)
         runtime["remote"] = ""  # the child IS the host
+        runtime["relaunch_cmd"] = ""
         return {
             "stage_id": self.stage_id,
             "stage_type": self.stage_type,

@@ -78,6 +78,7 @@ class RemoteStage(OmniStage):
         self._supervisor = None
         self._sock_lock = threading.Lock()
         self._recover_lock = threading.Lock()
+        self._last_pong = time.monotonic()
         # tasks submitted but not finally answered: re-sent on recovery
         self._inflight: dict[str, StageTask] = {}
         try:
@@ -90,6 +91,19 @@ class RemoteStage(OmniStage):
                 self._supervisor = StageHostSupervisor(
                     self.config, platform=platform)
                 addr = self._supervisor.start()
+            else:
+                # fixed host:port — supervise the ADDRESS: ping-driven
+                # mark-down + reconnect, optional relaunch command
+                # (reference Ray cross-host placement + actor restart,
+                # ray_utils/utils.py:28-169)
+                from vllm_omni_tpu.stages.supervisor import (
+                    RemoteHostSupervisor,
+                )
+
+                self._supervisor = RemoteHostSupervisor(
+                    self.config, addr,
+                    relaunch_cmd=getattr(
+                        self.config.runtime, "relaunch_cmd", ""))
             self._connect(addr)
         except BaseException as e:
             self.init_error = e
@@ -99,6 +113,12 @@ class RemoteStage(OmniStage):
                               name=f"remote-stage-{self.stage_id}")
         self._threads.append(th)
         th.start()
+        interval = float(getattr(self.config.runtime, "ping_interval", 0.0))
+        if interval > 0:
+            wd = threading.Thread(target=self._watchdog, daemon=True,
+                                  name=f"remote-stage-{self.stage_id}-wd")
+            self._threads.append(wd)
+            wd.start()
         self.ready.set()
 
     def _connect(self, addr: str) -> None:
@@ -108,15 +128,51 @@ class RemoteStage(OmniStage):
             try:
                 sock = socket.create_connection(
                     (host or "127.0.0.1", int(port)), timeout=5)
+                # the hello handshake is part of the retry loop: a
+                # SIGKILLed host's listener can briefly accept-then-RST
+                # during kernel teardown, so an established connection
+                # does not yet prove a live host
+                hello = _recv(sock)
                 break
             except OSError:
                 if time.monotonic() > deadline:
                     raise
                 time.sleep(0.2)
-        hello = _recv(sock)
         if hello.get("type") != "ready":
             raise RuntimeError(f"stage host not ready: {hello}")
         self._sock = sock
+        self._last_pong = time.monotonic()
+
+    def _watchdog(self) -> None:
+        """Wedged-host detection: ping on a cadence; a missing pong past
+        ping_timeout marks the host down by closing our socket end —
+        the reader's recv fails and drives the normal recovery path
+        (kill+respawn for supervised subprocesses, relaunch/wait for
+        remote addresses)."""
+        interval = float(self.config.runtime.ping_interval)
+        timeout = float(self.config.runtime.ping_timeout)
+        while not self._closing:
+            time.sleep(interval)
+            if self._closing:
+                return
+            sock = getattr(self, "_sock", None)
+            self.ping()
+            if time.monotonic() - self._last_pong <= timeout:
+                continue
+            logger.warning(
+                "stage %d host unresponsive for %.0fs; marking down",
+                self.stage_id, timeout)
+            sup = self._supervisor
+            if sup is not None:
+                sup.kill()  # wedged local subprocess; no-op for remote
+            try:
+                if sock is not None:
+                    sock.close()  # the exact socket we pinged — never a
+                    # fresh one that recovery opened meanwhile
+            except OSError:
+                pass
+            # give recovery a full window before re-judging
+            self._last_pong = time.monotonic()
 
     def _task_msg(self, task: StageTask) -> dict:
         sp = task.sampling_params
@@ -194,25 +250,37 @@ class RemoteStage(OmniStage):
         if self._supervisor is None or self._closing:
             self._fail_inflight("remote stage connection lost")
             return False
+        entry_epoch = getattr(self, "_epoch", 0)
         with self._recover_lock:
-            try:
-                addr = self._supervisor.restart()
-                self._connect(addr)
-            except BaseException as e:
-                logger.error("stage %d host recovery failed: %s",
-                             self.stage_id, e)
-                self._fail_inflight(f"stage host recovery failed: {e}")
-                return False
-            pending = list(self._inflight.values())
-            logger.info("stage %d host recovered; re-submitting %d "
-                        "in-flight requests", self.stage_id, len(pending))
-            for task in pending:
+            if getattr(self, "_epoch", 0) != entry_epoch:
+                # another thread (reader vs submit vs watchdog) already
+                # recovered while we waited on the lock — a second
+                # restart would kill the fresh host
+                return True
+            while True:  # restart budget bounds this loop
                 try:
-                    with self._sock_lock:
-                        _send(self._sock, self._task_msg(task))
-                except (ConnectionError, OSError):
-                    return self._recover()
-            return True
+                    addr = self._supervisor.restart()
+                    self._connect(addr)
+                    self._epoch = getattr(self, "_epoch", 0) + 1
+                except BaseException as e:
+                    logger.error("stage %d host recovery failed: %s",
+                                 self.stage_id, e)
+                    self._fail_inflight(f"stage host recovery failed: {e}")
+                    return False
+                pending = list(self._inflight.values())
+                logger.info("stage %d host recovered; re-submitting %d "
+                            "in-flight requests", self.stage_id,
+                            len(pending))
+                resubmit_ok = True
+                for task in pending:
+                    try:
+                        with self._sock_lock:
+                            _send(self._sock, self._task_msg(task))
+                    except (ConnectionError, OSError):
+                        resubmit_ok = False  # fresh host died already:
+                        break  # go around (bounded by max_restarts)
+                if resubmit_ok:
+                    return True
 
     def _fail_inflight(self, reason: str) -> None:
         for rid in list(self._inflight):
@@ -233,8 +301,10 @@ class RemoteStage(OmniStage):
 
 
 def serve_stage(cfg: StageConfig, port: int, host: str = "0.0.0.0") -> None:
-    """Stage-host body: build the local stage, accept ONE orchestrator
-    connection, pump tasks in and results out until `stop`."""
+    """Stage-host body: build the local stage, serve orchestrator
+    connections (successively — a reconnect after a transient network
+    drop reuses the live engine instead of requiring a relaunch), pump
+    tasks in and results out until `stop`."""
     out_q: "queue.Queue[StageOutput]" = queue.Queue()
     stage = OmniStage(cfg, out_q)
     stage.init_stage_worker()
@@ -247,60 +317,73 @@ def serve_stage(cfg: StageConfig, port: int, host: str = "0.0.0.0") -> None:
     logger.info("stage %d serving on %s:%d", cfg.stage_id, host,
                 srv.getsockname()[1])
     print(f"STAGE_READY {srv.getsockname()[1]}", flush=True)
-    conn, peer = srv.accept()
-    logger.info("orchestrator connected from %s", peer)
-    send_lock = threading.Lock()
-    _send(conn, {"type": "ready", "stage_id": cfg.stage_id})
-
-    stop = threading.Event()
-
-    def pump_results() -> None:
-        while not stop.is_set():
-            try:
-                so = out_q.get(timeout=0.2)
-            except queue.Empty:
-                continue
-            m = None
-            if so.metrics is not None:
-                m = {k: getattr(so.metrics, k)
-                     for k in so.metrics.__dataclass_fields__}
-            with send_lock:
-                _send(conn, {
-                    "type": "result", "request_id": so.request_id,
-                    "output": so.output, "metrics": m,
-                    "error": so.error, "partial": so.partial,
-                })
-
-    pump = threading.Thread(target=pump_results, daemon=True)
-    pump.start()
+    stop_all = False
     try:
-        while True:
-            msg = _recv(conn)
-            if msg.get("type") == "stop":
-                break
-            if msg.get("type") == "ping":
-                with send_lock:
-                    _send(conn, {"type": "pong"})
-                continue
-            if msg.get("type") == "abort":
-                stage.abort(msg.get("request_id", ""))
-                continue
-            if msg.get("type") != "task":
-                continue
-            sp = msg.get("sampling_params")
-            stage.submit(StageTask(
-                request_id=msg["request_id"], prompt=msg["prompt"],
-                sampling_params=SamplingParams(**sp) if sp else None,
-                diffusion_kwargs=msg.get("diffusion_kwargs"),
-                stream=bool(msg.get("stream")),
-            ))
-    except (ConnectionError, OSError):
-        pass
+        while not stop_all:
+            conn, peer = srv.accept()
+            logger.info("orchestrator connected from %s", peer)
+            send_lock = threading.Lock()
+            _send(conn, {"type": "ready", "stage_id": cfg.stage_id})
+
+            stop = threading.Event()
+
+            def pump_results(conn=conn, send_lock=send_lock, stop=stop):
+                while not stop.is_set():
+                    try:
+                        so = out_q.get(timeout=0.2)
+                    except queue.Empty:
+                        continue
+                    m = None
+                    if so.metrics is not None:
+                        m = {k: getattr(so.metrics, k)
+                             for k in so.metrics.__dataclass_fields__}
+                    try:
+                        with send_lock:
+                            _send(conn, {
+                                "type": "result",
+                                "request_id": so.request_id,
+                                "output": so.output, "metrics": m,
+                                "error": so.error, "partial": so.partial,
+                            })
+                    except (ConnectionError, OSError):
+                        # keep the result for the next connection
+                        out_q.put(so)
+                        return
+
+            pump = threading.Thread(target=pump_results, daemon=True)
+            pump.start()
+            try:
+                while True:
+                    msg = _recv(conn)
+                    if msg.get("type") == "stop":
+                        stop_all = True
+                        break
+                    if msg.get("type") == "ping":
+                        with send_lock:
+                            _send(conn, {"type": "pong"})
+                        continue
+                    if msg.get("type") == "abort":
+                        stage.abort(msg.get("request_id", ""))
+                        continue
+                    if msg.get("type") != "task":
+                        continue
+                    sp = msg.get("sampling_params")
+                    stage.submit(StageTask(
+                        request_id=msg["request_id"], prompt=msg["prompt"],
+                        sampling_params=(SamplingParams(**sp) if sp
+                                         else None),
+                        diffusion_kwargs=msg.get("diffusion_kwargs"),
+                        stream=bool(msg.get("stream")),
+                    ))
+            except (ConnectionError, OSError):
+                logger.warning("orchestrator connection lost; "
+                               "re-accepting")
+            finally:
+                stop.set()
+                pump.join(timeout=5)
+                conn.close()
     finally:
-        stop.set()
-        pump.join(timeout=5)
         stage.shutdown()
-        conn.close()
         srv.close()
 
 

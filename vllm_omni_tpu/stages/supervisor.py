@@ -125,3 +125,111 @@ class StageHostSupervisor:
                 os.unlink(self._cfg_path)
             except OSError:
                 pass
+
+
+class RemoteHostSupervisor:
+    """Supervises a stage host at a FIXED address (another machine, or
+    a process launched outside this orchestrator) — the cross-host half
+    of the reference's Ray actor lifecycle (ray_utils/utils.py:28-169).
+
+    There is no process handle: liveness is protocol-level (RemoteStage
+    pings; its reader detects the dead socket) and recovery is
+    (1) optionally firing `relaunch_cmd` — a shell template with
+    {host} {port} {config} placeholders, e.g. an ssh line — then
+    (2) waiting for the address to accept connections again. Without a
+    relaunch command, restart() just waits out `ready_timeout` for
+    external recovery (a pod scheduler restarting the host)."""
+
+    def __init__(self, config: StageConfig, address: str,
+                 relaunch_cmd: str = "", max_restarts: int = 3,
+                 ready_timeout: float = 120.0):
+        self.config = config
+        self.address = address
+        self.relaunch_cmd = relaunch_cmd
+        self.max_restarts = max_restarts
+        self.ready_timeout = ready_timeout
+        self.restarts = 0
+        self._cfg_path: Optional[str] = None
+        self._lock = threading.Lock()
+
+    def start(self) -> str:
+        return self.address
+
+    def _config_path(self) -> str:
+        if self._cfg_path is None:
+            fd, self._cfg_path = tempfile.mkstemp(
+                prefix=f"omni_stage{self.config.stage_id}_", suffix=".json")
+            with os.fdopen(fd, "w") as f:
+                json.dump(self.config.to_dict(), f)
+        return self._cfg_path
+
+    def _wait_reachable(self) -> None:
+        import socket
+
+        host, _, port = self.address.rpartition(":")
+        deadline = time.monotonic() + self.ready_timeout
+        while True:
+            try:
+                with socket.create_connection(
+                        (host or "127.0.0.1", int(port)), timeout=2):
+                    return
+            except OSError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"stage {self.config.stage_id} host at "
+                        f"{self.address} not back after "
+                        f"{self.ready_timeout}s")
+                time.sleep(0.3)
+
+    def alive(self) -> bool:
+        """Reachability probe (protocol liveness is the pings)."""
+        import socket
+
+        host, _, port = self.address.rpartition(":")
+        try:
+            with socket.create_connection(
+                    (host or "127.0.0.1", int(port)), timeout=2):
+                return True
+        except OSError:
+            return False
+
+    def restart(self) -> str:
+        """Mark down -> optionally relaunch -> wait reachable. Raises
+        after max_restarts (failures then surface per request)."""
+        with self._lock:
+            if self.restarts >= self.max_restarts:
+                raise RuntimeError(
+                    f"stage {self.config.stage_id} remote host exceeded "
+                    f"{self.max_restarts} restarts")
+            self.restarts += 1
+            host, _, port = self.address.rpartition(":")
+            if self.relaunch_cmd:
+                cmd = self.relaunch_cmd.format(
+                    host=host or "127.0.0.1", port=port,
+                    config=self._config_path())
+                logger.warning(
+                    "relaunching stage %d remote host (attempt %d/%d): %s",
+                    self.config.stage_id, self.restarts,
+                    self.max_restarts, cmd)
+                subprocess.Popen(cmd, shell=True,
+                                 stdout=subprocess.DEVNULL,
+                                 stderr=subprocess.DEVNULL)
+            else:
+                logger.warning(
+                    "stage %d remote host at %s down; waiting for "
+                    "external recovery (attempt %d/%d)",
+                    self.config.stage_id, self.address, self.restarts,
+                    self.max_restarts)
+            self._wait_reachable()
+            return self.address
+
+    def kill(self) -> None:
+        """No process handle — nothing to kill; the wedged host is
+        abandoned (the relaunch command owns replacement)."""
+
+    def stop(self) -> None:
+        if self._cfg_path and os.path.isfile(self._cfg_path):
+            try:
+                os.unlink(self._cfg_path)
+            except OSError:
+                pass
