@@ -26,6 +26,10 @@ _DTYPE_MAP = {
     "fp8": jnp.float8_e4m3fn,
     "fp8_e4m3": jnp.float8_e4m3fn,
     "float8_e4m3fn": jnp.float8_e4m3fn,
+    # int8 KV cache (per-slot scales, ops/quant.py quantize_kv) — the
+    # fast capacity path on v5e: int8->bf16 converts are VPU-native,
+    # while the fp8-e4m3 upcast is emulated (2.5-3x slower than bf16)
+    "int8": jnp.int8,
     "auto": jnp.bfloat16,
 }
 

@@ -277,8 +277,12 @@ class Scheduler:
         # one dispatch — per-dispatch host/tunnel overhead amortizes by K.
         extra_steps = 0
         ms = self.config.multi_step_decode
+        # mrope does NOT block fusion: decode-token mrope positions are
+        # `pos + delta` on every component (see the descriptor build
+        # below), so the runner advances them by +k exactly as the host
+        # would per step
         if (ms > 1 and scheduled and not self.waiting
-                and not self.config.one_shot and not self.use_mrope):
+                and not self.config.one_shot):
             eligible = all(
                 n == 1
                 # steady decode only: past the prompt AND past any

@@ -96,6 +96,14 @@ class ModelRunner:
             "k": jnp.zeros(shape, cache_dtype),
             "v": jnp.zeros(shape, cache_dtype),
         }
+        if cache_dtype == jnp.int8:
+            # per-(slot, head) scales for the int8 KV cache (~3% of the
+            # int8 pages at D=128; ops/quant.py quantize_kv). B-major
+            # [L, N, B, Hkv]: the decode kernel DMAs a page's [B, Hkv]
+            # scale slice onto the VMEM sublane dim (tile-aligned)
+            s_shape = (shape[0], shape[1], B, spec.num_kv_heads)
+            self.kv_cache["k_scale"] = jnp.zeros(s_shape, jnp.float32)
+            self.kv_cache["v_scale"] = jnp.zeros(s_shape, jnp.float32)
         S = config.scheduler_config.max_num_seqs
         self.sampling_state = SamplingState.init(S, mc.vocab_size)
         # device-resident last sampled token per row: decode steps scheduled
@@ -127,7 +135,8 @@ class ModelRunner:
         )
 
         self.param_specs = qwen_param_specs(self.params)
-        self.kv_specs = kv_cache_specs()
+        self.kv_specs = kv_cache_specs(
+            quantized="k_scale" in self.kv_cache)
         self.params = place(self.params, self.param_specs, self.mesh)
         self.kv_cache = place(self.kv_cache, self.kv_specs, self.mesh)
         self.sampling_state = place(
@@ -269,6 +278,12 @@ class ModelRunner:
                 embeds = embeds + jnp.where(
                     d["use_add_embeds"][:, None], add, 0.0)
             active = (d["q_lens"] > 0).astype(jnp.int32)
+            mrope_pos = d.get("mrope_positions")
+            if mrope_pos is not None:
+                # fused windows: generated tokens are text, so every
+                # mrope component advances by 1 per sub-step (the host
+                # computes the same for the next dispatch)
+                mrope_pos = mrope_pos + k
             meta = AttentionMetadata(
                 q_starts=d["cu_q_lens"][:-1],
                 q_lens=d["q_lens"],
@@ -277,7 +292,7 @@ class ModelRunner:
                 positions=d["positions"] + k,
                 token_rows=d["token_rows"],
                 slot_mapping=slot_k,
-                rope_positions=d.get("mrope_positions"),
+                rope_positions=mrope_pos,
             )
             step_fwd_kwargs = dict(fwd_kwargs)
             if d.get("deepstack_embeds") is not None:
@@ -305,11 +320,32 @@ class ModelRunner:
                 )
 
                 kv_new = kv_cache
+                k_all, v_all = kv_new["k_new"], kv_new["v_new"]
                 with jax.named_scope("omni_kv_commit"):
+                    if "k_scale" in kv_cache_in:
+                        # int8 KV: quantize the step's [L, T, Hkv, D]
+                        # K/V, commit int8 pages via the pallas write,
+                        # scatter the tiny scale entries via XLA
+                        from vllm_omni_tpu.ops.quant import quantize_kv
+
+                        k_all, k_s = quantize_kv(k_all)
+                        v_all, v_s = quantize_kv(v_all)
+                        bsz = kv_cache_in["k"].shape[3]
+                        blk = slot_k // bsz
+                        off = slot_k % bsz
+                        # adjacent advanced indices (axes 1, 2) keep
+                        # their position: update shape [L, T, Hkv] = k_s
+                        ks_c = kv_cache_in["k_scale"].at[
+                            :, blk, off].set(k_s)
+                        vs_c = kv_cache_in["v_scale"].at[
+                            :, blk, off].set(v_s)
                     k_c, v_c = commit_kv_all_layers(
                         kv_cache_in["k"], kv_cache_in["v"],
-                        kv_new["k_new"], kv_new["v_new"], slot_k)
+                        k_all, v_all, slot_k)
                 kv_cache = {"k": k_c, "v": v_c}
+                if "k_scale" in kv_cache_in:
+                    kv_cache["k_scale"] = ks_c
+                    kv_cache["v_scale"] = vs_c
             rows_hidden = hidden[d["logits_indices"]]  # [S, H]
             logits = model.compute_logits(
                 params, rows_hidden, tp_axis=tp_axis
@@ -402,15 +438,20 @@ class ModelRunner:
             slots = jnp.concatenate(
                 [d["slot_mapping"][None], d["extra_slots"]], axis=0)
             sampled_ks = []
-            aux = {}
+            aux_ks = []
             for k in range(num_steps):
                 sampled, kv_cache, state, prev_sampled, aux = substep(
                     params, kv_cache, state, prev_sampled, d,
                     jnp.int32(k), slots[k])
                 sampled_ks.append(sampled)
+                aux_ks.append(aux)
             sampled_k = jnp.stack(sampled_ks)
-            aux = {"last_hidden": aux["last_hidden"],
-                   "last_input_embed": aux["last_input_embed"]}
+            # per-substep aux stacks to [K, ...]: latent stages (thinker/
+            # talker) consume hidden states PER TOKEN, so a fused window
+            # must surface every substep's aux, not just the last —
+            # engine/core._drain_many slices the window back apart
+            aux = {key: jnp.stack([a[key] for a in aux_ks])
+                   for key in aux_ks[0]}
             return sampled_k, kv_cache, state, prev_sampled, aux
 
         donate_argnums = (1, 2, 3) if donate else ()
@@ -507,9 +548,22 @@ class ModelRunner:
             # over the model axis exactly as in the standard path)
             k_full = jax.lax.all_gather(k_all, "seq", axis=1, tiled=True)
             v_full = jax.lax.all_gather(v_all, "seq", axis=1, tiled=True)
+            out = dict(kv_cache)
+            if "k_scale" in kv_cache:
+                from vllm_omni_tpu.ops.quant import quantize_kv
+
+                k_full, k_s = quantize_kv(k_full)
+                v_full, v_s = quantize_kv(v_full)
+                bsz = kv_cache["k"].shape[3]
+                blk, off = slots // bsz, slots % bsz
+                out["k_scale"] = kv_cache["k_scale"].at[
+                    :, blk, off].set(k_s)
+                out["v_scale"] = kv_cache["v_scale"].at[
+                    :, blk, off].set(v_s)
             k_c, v_c = commit_kv_all_layers(
                 kv_cache["k"], kv_cache["v"], k_full, v_full, slots)
-            return {"k": k_c, "v": v_c}
+            out["k"], out["v"] = k_c, v_c
+            return out
 
         sharded = jax.shard_map(
             body,

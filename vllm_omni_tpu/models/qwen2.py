@@ -172,6 +172,11 @@ class Qwen2ForCausalLM:
         lp = params["layers"]
         cos, sin = self._cos, self._sin
         k_cache_in, v_cache_in = kv_cache["k"], kv_cache["v"]
+        # int8 KV cache: per-(slot, head) scales ride alongside the
+        # int8 pages ({"k_scale","v_scale"}: [L, N, Hkv, B] f32)
+        kv_quant = "k_scale" in kv_cache
+        ks_in = kv_cache.get("k_scale")
+        vs_in = kv_cache.get("v_scale")
 
         # prefill-shaped steps: the page-grouped write kernel needs the
         # slot sort — loop-invariant, so compute it ONCE outside the scan
@@ -191,9 +196,12 @@ class Qwen2ForCausalLM:
                 kv_groups = prepare_page_groups(meta.slot_mapping, b_c)
 
         def layer(carry, xs):
+            ks, vs = ks_in, vs_in
             if defer_kv_write:
                 h = carry
                 k_cache, v_cache = k_cache_in, v_cache_in  # read-only
+            elif kv_quant:
+                h, k_cache, v_cache, ks, vs = carry
             else:
                 h, k_cache, v_cache = carry
             p, li = xs
@@ -224,8 +232,24 @@ class Qwen2ForCausalLM:
                 theta=self.theta,
             )
             if not defer_kv_write:
+                kw, vw = k, v
+                if kv_quant:
+                    from vllm_omni_tpu.ops.quant import quantize_kv
+
+                    kw, k_s = quantize_kv(k)
+                    vw, v_s = quantize_kv(v)
+                    bsz = k_cache.shape[3]
+                    blk = meta.slot_mapping // bsz
+                    off = meta.slot_mapping % bsz
+                    # scale scatter: the scale arrays are ~D/itemsize x
+                    # smaller than the cache, so the XLA scatter's
+                    # whole-operand copy is a few MB, not GB. Layout is
+                    # [L, N, B, Hkv] (kernel DMA tile alignment) ->
+                    # update shape [T, Hkv] = quantize_kv's scales
+                    ks = ks.at[li, blk, off].set(k_s)
+                    vs = vs.at[li, blk, off].set(v_s)
                 k_cache, v_cache = write_kv_auto(
-                    k_cache, v_cache, li, k, v, meta.slot_mapping,
+                    k_cache, v_cache, li, kw, vw, meta.slot_mapping,
                     groups=kv_groups)
             # the FULL cache stack + layer index goes to attention: the
             # pallas decode kernel indexes [layer, block] itself, and a
@@ -241,6 +265,8 @@ class Qwen2ForCausalLM:
                 k_self=k if defer_kv_write else None,
                 v_self=v if defer_kv_write else None,
                 layer=li,
+                k_scale=ks if kv_quant else None,
+                v_scale=vs if kv_quant else None,
             )
             attn_out = linear(attn.reshape(T, -1), p["o_proj"])
             h = res + psum_if(attn_out, tp_axis)
@@ -259,6 +285,8 @@ class Qwen2ForCausalLM:
             h = res + psum_if(mlp_out, tp_axis)
             if defer_kv_write:
                 return h, (k, v)
+            if kv_quant:
+                return (h, k_cache, v_cache, ks, vs), None
             return (h, k_cache, v_cache), None
 
         xs = (lp, jnp.arange(self.L, dtype=jnp.int32))
@@ -266,6 +294,12 @@ class Qwen2ForCausalLM:
             hidden, (k_all, v_all) = jax.lax.scan(layer, hidden, xs)
             hidden = rms_norm(hidden, params["norm"], self.eps)
             return hidden, {"k_new": k_all, "v_new": v_all}
+        if kv_quant:
+            (hidden, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+                layer, (hidden, k_cache_in, v_cache_in, ks_in, vs_in), xs)
+            hidden = rms_norm(hidden, params["norm"], self.eps)
+            return hidden, {"k": new_k, "v": new_v,
+                            "k_scale": new_ks, "v_scale": new_vs}
         (hidden, new_k, new_v), _ = jax.lax.scan(
             layer, (hidden, k_cache_in, v_cache_in), xs)
         hidden = rms_norm(hidden, params["norm"], self.eps)

@@ -75,6 +75,13 @@ def _kernel(
     # cache + a layer scalar: slicing a 5-D stack with a traced index
     # inside lax.scan makes XLA materialize a per-layer COPY of the
     # slice — at multi-GB caches that copy dominated decode)
+    ks_ref,  # [1, 2, MC, Hkv, CT] f32 VMEM — per-slot K scales of the
+    vs_ref,  # pair's WHOLE context, pre-gathered chunk-major by XLA
+    # outside the kernel (int8 KV), or None. Pre-gathering sidesteps
+    # Mosaic's DMA tiling limits (a raw scale page is [B, Hkv] — its
+    # sub-128 minor dim cannot be DMA'd); in-kernel access is a major-
+    # dim chunk index + a tile-aligned [Hkv, CT] read, and the scale
+    # bytes are ~3% of the int8 page bytes.
     # outputs
     out_ref,  # [2, Hq, D] VMEM
     # scratch
@@ -91,6 +98,7 @@ def _kernel(
     chunk_tokens: int,
     stacked: bool,
 ):
+    quantized = ks_ref is not None
     step = pl.program_id(0)
     li = layer_ref[0]
     B = block_size
@@ -198,14 +206,26 @@ def _kernel(
         k_c = k_buf[slot, buf]  # [Hkv, CT, D]
         v_c = v_buf[slot, buf]
         if k_c.dtype != q_ref.dtype:
-            # narrow KV cache (fp8 e4m3): pages stream as raw fp8 bytes
-            # (half the HBM traffic) and upcast here in VMEM
+            # narrow KV cache: fp8 pages upcast here in VMEM; int8 pages
+            # convert int8->bf16 (VPU-native on v5e, unlike the fp8
+            # emulated upcast) with their per-(slot, head) scales folded
+            # into the score/probability rows below — the scale is
+            # constant across D, so no dequantized K/V tile ever
+            # materializes: q.(k*s) = (q.k)*s and sum p*(v*s) = (p*s).v
             k_c = k_c.astype(q_ref.dtype)
             v_c = v_c.astype(q_ref.dtype)
         scores = jax.lax.dot_general(
             qg, k_c, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale  # [Hkv, G, CT]
+        if quantized:
+            # pre-gathered chunk-major scales: major-dim chunk index +
+            # one tile-aligned [Hkv, CT] read. Clamp: with a sliding
+            # window the pair's shared iteration count can push the
+            # SHORTER slot's c past its (and the buffer's) last chunk —
+            # those iterations are fully masked, values irrelevant
+            cc = jnp.minimum(c, ks_ref.shape[2] - 1)
+            scores = scores * ks_ref[0, slot, cc][:, None, :]
         kv_pos = c * CT + jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, CT), 2)
         mask = kv_pos < valid
@@ -222,8 +242,15 @@ def _kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (1, CT, 1), 1)
         v_valid = jnp.where((c * CT + col) < valid, v_c, 0).astype(
             v_c.dtype)
+        if quantized:
+            # masked columns have p == 0 but pad-page scale entries are
+            # arbitrary — 0 * NaN/inf would poison the accumulator
+            cc = jnp.minimum(c, vs_ref.shape[2] - 1)
+            pv = jnp.where(mask, p * vs_ref[0, slot, cc][:, None, :], 0.0)
+        else:
+            pv = p
         acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(k_c.dtype), v_valid,
+            pv.astype(k_c.dtype), v_valid,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [Hkv, G, D]
@@ -319,6 +346,40 @@ def _kernel(
     finalize(1, m1, l1, a1, qg1, in1)
 
 
+def _wrap_plain(kernel, layer_ref, rows_ref, pos_ref, seq_lens_ref,
+                tables_ref, q_ref, k_self_ref, v_self_ref, k_hbm_ref,
+                v_hbm_ref, out_ref, k_buf, v_buf, sems, **kw):
+    kernel(layer_ref, rows_ref, pos_ref, seq_lens_ref, tables_ref,
+           q_ref, k_self_ref, v_self_ref, k_hbm_ref, v_hbm_ref,
+           None, None, out_ref, k_buf, v_buf, sems, **kw)
+
+
+def gather_chunk_scales(scale, tables, rows, layer, CT: int):
+    """XLA-side pre-gather of int8-KV scales for the decode kernel.
+
+    scale [L, N, B, Hkv] (or [N, B, Hkv]), tables [S, MAXB],
+    rows [Tp] -> [Tp, MC, Hkv, CT] f32, chunk-major: entry
+    [t, m, h, j] is the scale of context slot m*CT + j for token t.
+    Pad pages index the reserved pad block 0 (zero scales — masked in
+    the kernel). The gathered bytes are Hkv*4 per slot vs the page's
+    Hkv*D int8 bytes: ~3% extra HBM traffic at D=128."""
+    if scale.ndim == 4:
+        scale = scale[layer]
+    N, B, Hkv = scale.shape
+    S, MAXB = tables.shape
+    CP = CT // B
+    MC = max(1, -(-(MAXB * B) // CT))
+    t = tables[jnp.clip(rows, 0, S - 1)]  # [Tp, MAXB]
+    pad = MC * CP - MAXB
+    if pad > 0:
+        t = jnp.pad(t, ((0, 0), (0, pad)))
+    g = scale[t]  # [Tp, MC*CP, B, Hkv]
+    Tp = g.shape[0]
+    g = g.reshape(Tp, MC, CP, B, Hkv)
+    g = jnp.transpose(g, (0, 1, 4, 2, 3))  # [Tp, MC, Hkv, CP, B]
+    return g.reshape(Tp, MC, Hkv, CP * B)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "has_self", "interpret",
@@ -342,11 +403,14 @@ def decode_paged_attention(
     layer: jax.Array | int = 0,  # layer index for a stacked cache — the
     # kernel indexes [layer, block] itself, so a layer scan never
     # slices the stack (XLA would copy the slice per layer)
+    k_scale: jax.Array | None = None,  # [(L,) N, B, Hkv] f32 per-slot
+    v_scale: jax.Array | None = None,  # scales for int8 KV caches
 ) -> jax.Array:
     T, Hq, D = q.shape
     S, MAXB = block_tables.shape
     stacked = k_cache.ndim == 5
     _, Hkv, B, _ = k_cache.shape[1:] if stacked else k_cache.shape
+    quantized = k_scale is not None
     if k_self is None:
         k_self = jnp.zeros((T, Hkv, D), q.dtype)
         v_self = jnp.zeros((T, Hkv, D), q.dtype)
@@ -360,33 +424,54 @@ def decode_paged_attention(
                    constant_values=S)
     pos = jnp.pad(positions, (0, Tp - T))
 
-    # chunk sizing uses the COMPUTE itemsize: narrow (fp8) caches stream
-    # as 1-byte pages but upcast to the q dtype inside VMEM, so the
-    # upcast temporaries — not the stream buffers — bound the chunk
+    # chunk sizing uses the COMPUTE itemsize: narrow (fp8/int8) caches
+    # stream as 1-byte pages but convert to the q dtype inside VMEM, so
+    # the converted temporaries — not the stream buffers — bound the
+    # chunk
     CT = chunk_tokens or _chunk_tokens(
         Hkv, D, max(k_cache.dtype.itemsize, q.dtype.itemsize), B,
         MAXB * B)
     assert CT % B == 0, (CT, B)
 
+    in_specs = [
+        pl.BlockSpec((2, Hq, D), lambda s, *_: (s, 0, 0)),
+        pl.BlockSpec((2, Hkv, D), lambda s, *_: (s, 0, 0)),
+        pl.BlockSpec((2, Hkv, D), lambda s, *_: (s, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((2, 2, Hkv, CT, D), k_cache.dtype),
+        pltpu.VMEM((2, 2, Hkv, CT, D), v_cache.dtype),
+        pltpu.SemaphoreType.DMA((2, 2, 2)),
+    ]
+    args = [q, k_self, v_self, k_cache, v_cache]
+    if quantized:
+        # pre-gathered chunk-major scales ride grid-blocked VMEM inputs
+        # (one pair's whole context per step; Pallas double-buffers)
+        ks_g = gather_chunk_scales(k_scale, block_tables, rows, layer, CT)
+        vs_g = gather_chunk_scales(v_scale, block_tables, rows, layer, CT)
+        ks_g = ks_g.reshape(Tp // 2, 2, *ks_g.shape[1:])
+        vs_g = vs_g.reshape(Tp // 2, 2, *vs_g.shape[1:])
+        MC = ks_g.shape[2]
+        in_specs += [
+            pl.BlockSpec((1, 2, MC, Hkv, CT),
+                         lambda s, *_: (s, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 2, MC, Hkv, CT),
+                         lambda s, *_: (s, 0, 0, 0, 0)),
+        ]
+        args += [ks_g, vs_g]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(Tp // 2,),
-        in_specs=[
-            pl.BlockSpec((2, Hq, D), lambda s, *_: (s, 0, 0)),
-            pl.BlockSpec((2, Hkv, D), lambda s, *_: (s, 0, 0)),
-            pl.BlockSpec((2, Hkv, D), lambda s, *_: (s, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((2, Hq, D), lambda s, *_: (s, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, Hkv, CT, D), k_cache.dtype),
-            pltpu.VMEM((2, 2, Hkv, CT, D), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
-        _kernel, scale=scale, block_size=B, max_blocks=MAXB,
+        _kernel if quantized else functools.partial(_wrap_plain, _kernel),
+        scale=scale, block_size=B, max_blocks=MAXB,
         num_rows=S, has_self=has_self, sliding_window=sliding_window,
         chunk_tokens=CT, stacked=stacked,
     )
@@ -401,6 +486,6 @@ def decode_paged_attention(
     )(
         jnp.asarray(layer, jnp.int32).reshape(1),
         rows, pos, seq_lens, block_tables.reshape(-1),
-        q, k_self, v_self, k_cache, v_cache,
+        *args,
     )
     return out[:T]

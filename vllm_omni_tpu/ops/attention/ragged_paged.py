@@ -372,6 +372,19 @@ def _pallas_supported(q, k_cache) -> bool:
     return D % 128 == 0 and B % 8 == 0 and k_cache.dtype == q.dtype
 
 
+def _dequantize_pages(k_cache, v_cache, k_scale, v_scale, dtype):
+    """int8 pages [..., Hkv, B, D] * per-slot scales [..., B, Hkv] ->
+    `dtype` pages (XLA fallback for paths without native int8 support;
+    materializes the slice it is given, so callers pass per-layer
+    slices, never the stack). Scale layout is B-major so the decode
+    kernel's page DMAs stay sublane-tile-aligned."""
+    ks = jnp.swapaxes(k_scale, -1, -2)[..., None]  # [..., Hkv, B, 1]
+    vs = jnp.swapaxes(v_scale, -1, -2)[..., None]
+    k = (k_cache.astype(jnp.float32) * ks.astype(jnp.float32)).astype(dtype)
+    v = (v_cache.astype(jnp.float32) * vs.astype(jnp.float32)).astype(dtype)
+    return k, v
+
+
 def ragged_paged_attention(
     q,
     k_cache,
@@ -389,6 +402,8 @@ def ragged_paged_attention(
     k_self: Optional[jax.Array] = None,
     v_self: Optional[jax.Array] = None,
     layer=None,
+    k_scale: Optional[jax.Array] = None,  # [(L,) N, B, Hkv] f32 —
+    v_scale: Optional[jax.Array] = None,  # int8 KV cache scales
 ):
     """Backend-dispatching entry point. k_self/v_self (deferred-write
     decode) route to the decode-shaped paths (pallas page streaming on
@@ -399,12 +414,18 @@ def ragged_paged_attention(
     [layer, block] itself, so a layer scan never slices the stack —
     slicing with a traced index makes XLA materialize a per-layer COPY
     of the multi-hundred-MB slice (measured dominating long-context
-    decode). Other backends fall back to slicing here."""
+    decode). Other backends fall back to slicing here.
+
+    int8 KV (`k_scale`/`v_scale` given): the decode kernel streams the
+    int8 pages + scale pages and folds the scales into the score /
+    probability rows (ops/quant.py quantize_kv); non-decode paths
+    dequantize the gathered/sliced pages via XLA."""
     import os
 
     from vllm_omni_tpu import envs
 
     stacked = k_cache.ndim == 5
+    quantized = k_scale is not None
 
     def _decode_pallas_ok():
         # KV-chunked (flash-decoding) kernel: constant VMEM in context
@@ -413,9 +434,11 @@ def ragged_paged_attention(
         D = q.shape[-1]
         B = k_cache.shape[-2]
         # fp8 (e4m3) KV: pages stream as raw fp8 bytes (half the HBM
-        # traffic) and upcast inside the kernel
+        # traffic) and upcast inside the kernel; int8 KV streams pages +
+        # per-slot scales (VPU-native convert — the fast capacity path)
         dtype_ok = (k_cache.dtype == q.dtype
-                    or k_cache.dtype == jnp.float8_e4m3fn)
+                    or k_cache.dtype == jnp.float8_e4m3fn
+                    or (k_cache.dtype == jnp.int8 and quantized))
         return (
             envs.is_tpu_platform()
             and os.environ.get("OMNI_TPU_DECODE_ATTN", "pallas") == "pallas"
@@ -435,9 +458,15 @@ def ragged_paged_attention(
                 token_rows, scale=scale, k_self=k_self, v_self=v_self,
                 sliding_window=sliding_window, has_self=True,
                 layer=(layer if layer is not None else 0),
+                k_scale=k_scale, v_scale=v_scale,
             )
         if stacked:
             k_cache, v_cache = k_cache[layer], v_cache[layer]
+            if quantized:
+                k_scale, v_scale = k_scale[layer], v_scale[layer]
+        if quantized:
+            k_cache, v_cache = _dequantize_pages(
+                k_cache, v_cache, k_scale, v_scale, q.dtype)
         return ragged_paged_attention_gather(
             q, k_cache, v_cache, q_starts, q_lens, seq_lens, block_tables,
             positions, token_rows, scale=scale, logit_cap=logit_cap,
@@ -454,7 +483,11 @@ def ragged_paged_attention(
             "OMNI_TPU_GATHER_ATTN_MAX_T", _GATHER_MAX_T_DEFAULT))
         if q.shape[0] <= max_t:
             backend = "gather"
-    if backend == "pallas" and not _pallas_supported(q, k_cache):
+    if backend == "pallas" and (not _pallas_supported(q, k_cache)
+                                or quantized):
+        # int8 KV prefill reads dequantize via XLA (the prefill kernel
+        # dots VMEM tiles directly); prefill is compute-bound so the
+        # dequant pass is off the critical path
         backend = "xla"
     if backend == "pallas":
         # the pallas prefill kernel also takes the stack + layer scalar
@@ -471,6 +504,11 @@ def ragged_paged_attention(
         )
     if stacked:
         k_cache, v_cache = k_cache[layer], v_cache[layer]
+        if quantized:
+            k_scale, v_scale = k_scale[layer], v_scale[layer]
+    if quantized:
+        k_cache, v_cache = _dequantize_pages(
+            k_cache, v_cache, k_scale, v_scale, q.dtype)
     if backend == "gather":
         return ragged_paged_attention_gather(
             q, k_cache, v_cache, q_starts, q_lens, seq_lens, block_tables,

@@ -65,3 +65,24 @@ def quantize_params(
         return out
 
     return walk(params)
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric int8 KV quantization.
+
+    x [..., Hkv, D] -> (int8 [..., Hkv, D], f32 scales [..., Hkv]).
+    The scale is constant across D, so attention never materializes a
+    dequantized K/V tile: q.(k_int8*s) = (q.k_int8)*s folds into the
+    score row and sum_t p_t*(v_int8_t*s_t) folds into p — the only
+    per-element work left is the int8->bf16 convert feeding the MXU,
+    which is VPU-native on v5e (unlike the fp8-e4m3 upcast, which
+    lowers to emulated integer ops and made fp8 KV 2.5-3x slower than
+    bf16 — BASELINE.md round 3).
+
+    Reference role: the kv_cache_dtype quantization surface of vLLM's
+    cache ops consumed by the reference (SURVEY.md §2.10 row 1)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    s = jnp.maximum(amax / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s

@@ -80,9 +80,15 @@ def qwen_param_specs(params: dict[str, Any], axis: str = AXIS_MODEL) -> dict[str
     return walk(params)
 
 
-def kv_cache_specs(axis: str = AXIS_MODEL) -> dict[str, P]:
-    # [L, Nblk, Hkv, B, D] sharded over kv heads
-    return {"k": P(None, None, axis), "v": P(None, None, axis)}
+def kv_cache_specs(axis: str = AXIS_MODEL,
+                   quantized: bool = False) -> dict[str, P]:
+    # [L, Nblk, Hkv, B, D] sharded over kv heads; int8 caches carry
+    # [L, Nblk, B, Hkv] scale arrays sharded over their Hkv axis
+    specs = {"k": P(None, None, axis), "v": P(None, None, axis)}
+    if quantized:
+        specs["k_scale"] = P(None, None, None, axis)
+        specs["v_scale"] = P(None, None, None, axis)
+    return specs
 
 
 def place(tree, specs, mesh: Mesh):
