@@ -328,3 +328,21 @@ def test_wan_sequence_parallel_matches_single(tiny_t2v=None):
     ref = run(sp=1)
     got = run(sp=4)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_rope_mm_matches_pair_rotation():
+    """apply_wan_rope_mm (the attention path: x*cos + (x@rot)*sin, no
+    lane relayout) == apply_wan_rope exactly — rot only permutes and
+    negates values."""
+    from vllm_omni_tpu.diffusion.models.wan2_2.transformer import (
+        apply_wan_rope_mm,
+        wan_rope_tables,
+    )
+
+    angles = wan_rope_angles(TF_CFG, 2, 2, 2)
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2, 8, 2, 12)).astype(np.float32))
+    ref = np.asarray(apply_wan_rope(x, angles))
+    cos, sin, rot = wan_rope_tables(angles)
+    got = np.asarray(apply_wan_rope_mm(x, cos, sin, rot))
+    np.testing.assert_allclose(got, ref, atol=1e-6)

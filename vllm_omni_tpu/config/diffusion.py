@@ -86,6 +86,9 @@ class OmniDiffusionConfig:
     # reference's default); "bfloat16" roughly halves decode time on
     # TPU (bandwidth/pass-precision bound) at ~1e-2 image error
     vae_dtype: Any = "float32"
+    # weight-only int8 (W8A16) on the DiT projections: ~2x less HBM for
+    # weights (QwenImage 40L fits one v5e chip) + int8 weight streaming
+    quantization: Optional[str] = None
     # LoRA (reference data.py:282-286): fused into base weights at load
     # (see diffusion/lora.py) — zero hot-path cost.
     lora_path: Optional[str] = None

@@ -37,7 +37,11 @@ def sinusoidal_timestep_embedding(
 def timestep_embed(params: dict, t: jax.Array, dim: int = 0) -> jax.Array:
     """Sinusoidal -> MLP (linear, silu, linear) -> [B, inner_dim]."""
     h = sinusoidal_timestep_embedding(t, 256)
-    h = h.astype(params["mlp1"]["w"].dtype)
+    w1 = params["mlp1"]["w"]
+    # int8-quantized weights are {"q","s"} dicts (ops/quant.py); the
+    # activation dtype then comes from the (unquantized) bias
+    h = h.astype(params["mlp1"]["b"].dtype if isinstance(w1, dict)
+                 else w1.dtype)
     h = linear(h, params["mlp1"]["w"], params["mlp1"]["b"])
     h = jax.nn.silu(h.astype(jnp.float32)).astype(h.dtype)
     return linear(h, params["mlp2"]["w"], params["mlp2"]["b"])

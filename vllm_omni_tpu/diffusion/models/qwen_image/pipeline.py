@@ -97,19 +97,24 @@ class QwenImagePipeline:
         # spatial compression = one 2x downsample per non-final stage
         self.vae_scale_factor = 2 ** (len(v_cfg.dim_mult) - 1)
         self.text_encoder = text_encoder
-        if load_weights and od_config.model:
-            self.params = {
-                "transformer": self.transformer.load_weights(od_config.model),
-                "vae": self._load_vae_weights(od_config.model),
-            }
-        else:
-            k1, k2 = jax.random.split(jax.random.key(rng_seed))
-            self.params = {
-                "transformer": self.transformer.init_params(k1),
-                "vae": self.vae.init_params(k2),
-            }
-        from vllm_omni_tpu.diffusion.offload import apply_offload_policy
+        from vllm_omni_tpu.diffusion.offload import (
+            apply_offload_policy,
+            init_device_for,
+        )
 
+        with init_device_for(od_config):
+            if load_weights and od_config.model:
+                self.params = {
+                    "transformer": self.transformer.load_weights(
+                        od_config.model),
+                    "vae": self._load_vae_weights(od_config.model),
+                }
+            else:
+                k1, k2 = jax.random.split(jax.random.key(rng_seed))
+                self.params = {
+                    "transformer": self.transformer.init_params(k1),
+                    "vae": self.vae.init_params(k2),
+                }
         self.params = apply_offload_policy(self.params, od_config)
         self._denoise_step = self._build_denoise_step()
         self._decode = jax.jit(self.vae.decode)

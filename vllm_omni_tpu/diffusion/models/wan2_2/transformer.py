@@ -92,10 +92,10 @@ def apply_wan_rope(x: jax.Array, angles: jax.Array) -> jax.Array:
     """x [B, S, H, D]; pair-interleaved rotation (reference
     apply_rotary_emb_wan, wan2_2_transformer.py:24-46).
 
-    Reference/fallback formulation: the [..., D//2, 2] reshape puts a
-    2-wide trailing axis in the lane dimension — a layout TPU relayouts
-    at great cost on long sequences. Production path is
-    apply_wan_rope_mm below."""
+    Reference formulation kept for exactness tests: the [..., D//2, 2]
+    reshape puts a 2-wide trailing axis in the lane dimension, which
+    TPU relayouts. The attention path uses apply_wan_rope_mm (same
+    values — rot is a signed permutation; tests assert equality)."""
     B, S, H, D = x.shape
     xf = x.astype(jnp.float32).reshape(B, S, H, D // 2, 2)
     x1, x2 = xf[..., 0], xf[..., 1]
@@ -252,7 +252,13 @@ class WanTransformer3DModel:
         S = gf * gh * gw
         dim = c.inner_dim
 
+        # rope tables once per shape; the per-block rotation runs as
+        # x*cos + (x@rot)*sin — the pair swap/negate is a tiny [D, D]
+        # signed-permutation matmul on the MXU, so the [..., D//2, 2]
+        # lane relayout of the reference formulation never materializes
+        # (exactness vs apply_wan_rope asserted in tests)
         angles = wan_rope_angles(c, gf, gh, gw)
+        rope_cos, rope_sin, rope_rot = wan_rope_tables(angles)
 
         # 3D patchify: conv(kernel=stride=patch) == reshape + linear
         x = latents.reshape(B, C, gf, pt, gh, ph, gw, pw)
@@ -331,10 +337,12 @@ class WanTransformer3DModel:
             k = _rms_full(linear(hn, a["to_k"]["w"], a["to_k"]["b"]),
                           a["norm_k"], eps)
             v = linear(hn, a["to_v"]["w"], a["to_v"]["b"])
-            q = apply_wan_rope(q.reshape(B, S, -1, c.attention_head_dim),
-                               angles)
-            k = apply_wan_rope(k.reshape(B, S, -1, c.attention_head_dim),
-                               angles)
+            q = apply_wan_rope_mm(
+                q.reshape(B, S, -1, c.attention_head_dim),
+                rope_cos, rope_sin, rope_rot)
+            k = apply_wan_rope_mm(
+                k.reshape(B, S, -1, c.attention_head_dim),
+                rope_cos, rope_sin, rope_rot)
             v = v.reshape(B, S, -1, c.attention_head_dim)
             attn = linear(attention(q, k, v), a["to_out"]["w"],
                           a["to_out"]["b"])

@@ -12,6 +12,7 @@ explicit hook machinery — JAX's host/device placement does the work.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any
 
 import jax
@@ -24,10 +25,32 @@ def offload_to_host(tree: Any) -> Any:
         lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
 
 
+def init_device_for(od_config: Any):
+    """Device context for param INIT: int8-quantized configs initialize
+    on HOST — the full-precision intermediates (QwenImage 40L is ~27 GB
+    bf16) would not fit HBM before quantization ships int8."""
+    if getattr(od_config, "quantization", None):
+        cpus = jax.devices("cpu")
+        if cpus:
+            return jax.default_device(cpus[0])
+    return contextlib.nullcontext()
+
+
 def apply_offload_policy(params: dict[str, Any], od_config: Any) -> dict:
     """Pin configured components host-side. Keys follow the pipeline
     param conventions: 'transformer'/'transformer_2' (DiT), 'vae',
-    'text_encoder', 'image_encoder'."""
+    'text_encoder', 'image_encoder'.
+
+    Weight-only int8 (`od_config.quantization == "int8"`) applies FIRST
+    so offloaded host copies — and any phase-offload H2D puts — move
+    int8 bytes, not bf16. This is how QwenImage's real 40L depth fits
+    one 16 GB chip (~27 GB bf16 -> ~13.5 GB W8A16)."""
+    if getattr(od_config, "quantization", None) == "int8":
+        from vllm_omni_tpu.ops.quant import quantize_diffusion_params
+
+        for key in ("transformer", "transformer_2"):
+            if params.get(key) is not None:
+                params[key] = quantize_diffusion_params(params[key])
     dit_off = (getattr(od_config, "dit_cpu_offload", False)
                or getattr(od_config, "dit_phase_offload", False))
     flags = {
@@ -42,4 +65,14 @@ def apply_offload_policy(params: dict[str, Any], od_config: Any) -> dict:
     for key, off in flags.items():
         if off and params.get(key) is not None:
             params[key] = offload_to_host(params[key])
+    if getattr(od_config, "quantization", None):
+        # quantized configs built EVERYTHING on host (init_device_for);
+        # ship each non-offloaded component to the accelerator now —
+        # leaving a tree host-committed would stream it H2D on EVERY
+        # jitted step
+        dev = jax.devices()[0]
+        if dev.platform != "cpu":
+            for key, off in flags.items():
+                if not off and params.get(key) is not None:
+                    params[key] = jax.device_put(params[key], dev)
     return params
