@@ -100,6 +100,8 @@ def main():
         dtype="bfloat16",
         quantization=os.environ.get("BENCH_QUANT") or None,
         kv_cache_dtype=os.environ.get("BENCH_KV_DTYPE", "auto"),
+        # ngram speculative decoding (BENCH_SPEC=k): the batch-1 lever
+        num_speculative_tokens=int(os.environ.get("BENCH_SPEC", 0)),
         max_num_seqs=batch,
         max_num_batched_tokens=4096,
         block_size=int(os.environ.get("BENCH_BLOCK", 16)),

@@ -50,10 +50,11 @@ _VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _chunk_tokens(Hkv: int, D: int, itemsize: int, B: int,
-                  max_len: int) -> int:
-    """Chunk length CT (tokens): fill the VMEM budget, multiple of B,
-    capped at 1024 and at the maximum context."""
-    ct = _VMEM_BUDGET // (8 * Hkv * D * itemsize)
+                  max_len: int, nbuf: int = 2) -> int:
+    """Chunk length CT (tokens): fill the VMEM budget (2 slots x nbuf
+    ring buffers x K+V), multiple of B, capped at 1024 and at the
+    maximum context."""
+    ct = _VMEM_BUDGET // (2 * nbuf * 2 * Hkv * D * itemsize)
     ct = min(ct, 1024, max_len)
     ct = max(ct - ct % B, B)
     return ct
@@ -259,9 +260,35 @@ def _kernel(
     qg0 = q_ref[0].reshape(Hkv, G, D)
     qg1 = q_ref[1].reshape(Hkv, G, D)
 
-    # prologue: chunk 0 for both slots -> buf 0; their streams interleave
-    pc0 = issue_chunk(0, 0, r0, valid0, clo0, chunk_active(0, clo0))
-    pc1 = issue_chunk(1, 0, r1, valid1, clo1, chunk_active(1, clo1))
+    NBUF = k_buf.shape[1]  # ring depth: NBUF-1 chunks in flight
+
+    def _issue_dyn(slot, buf, row_c, valid, c, active):
+        return jax.lax.switch(
+            buf, [functools.partial(issue_chunk, slot, b, row_c, valid,
+                                    c, active) for b in range(NBUF)])
+
+    def _wait_dyn(slot, buf, row_c, pc):
+        jax.lax.switch(
+            buf, [functools.partial(wait_chunk, slot, b, row_c, pc)
+                  for b in range(NBUF)])
+
+    def _compute_dyn(slot, buf, c, valid, lo, m, l, acc, qg):
+        return jax.lax.switch(
+            buf, [functools.partial(compute_chunk, slot, b, c, valid,
+                                    lo, m, l, acc, qg)
+                  for b in range(NBUF)])
+
+    # prologue: chunks clo .. clo+NBUF-2 for both slots -> bufs
+    # 0..NBUF-2; the two slots' page streams interleave
+    pcs0 = [issue_chunk(0, b, r0, valid0, clo0 + b,
+                        chunk_active(0, clo0 + b))
+            for b in range(NBUF - 1)]
+    pcs1 = [issue_chunk(1, b, r1, valid1, clo1 + b,
+                        chunk_active(1, clo1 + b))
+            for b in range(NBUF - 1)]
+    zero = jnp.int32(0)
+    pcs = jnp.stack([jnp.stack(pcs0 + [zero]),
+                     jnp.stack(pcs1 + [zero])])  # [2, NBUF]
 
     m_i = jnp.full((Hkv, G, 1), NEG_INF, jnp.float32)
     l_i = jnp.zeros((Hkv, G, 1), jnp.float32)
@@ -274,47 +301,28 @@ def _kernel(
     n_iter = jnp.maximum(n_live0, n_live1)
 
     def body(i, carry):
-        m0, l0, a0, m1, l1, a1, pc0, pc1 = carry
-        buf = jax.lax.rem(i, 2)
-        nbuf = jax.lax.rem(i + 1, 2)
+        m0, l0, a0, m1, l1, a1, pcs = carry
+        buf = jax.lax.rem(i, NBUF)
+        ibuf = jax.lax.rem(i + NBUF - 1, NBUF)
         c0, c1 = clo0 + i, clo1 + i
-        # issue chunk i+1 for both slots BEFORE computing chunk i: the
-        # target buffer held chunk i-1, already consumed
-        npc0 = _issue_dyn(0, nbuf, r0, valid0, c0 + 1,
-                          chunk_active(0, c0 + 1))
-        npc1 = _issue_dyn(1, nbuf, r1, valid1, c1 + 1,
-                          chunk_active(1, c1 + 1))
-        _wait_dyn(0, buf, r0, pc0)
-        _wait_dyn(1, buf, r1, pc1)
+        # issue chunk i+NBUF-1 BEFORE computing chunk i: the target
+        # buffer held chunk i-1, already consumed and waited
+        npc0 = _issue_dyn(0, ibuf, r0, valid0, c0 + NBUF - 1,
+                          chunk_active(0, c0 + NBUF - 1))
+        npc1 = _issue_dyn(1, ibuf, r1, valid1, c1 + NBUF - 1,
+                          chunk_active(1, c1 + NBUF - 1))
+        pcs = pcs.at[0, ibuf].set(npc0)
+        pcs = pcs.at[1, ibuf].set(npc1)
+        _wait_dyn(0, buf, r0, pcs[0, buf])
+        _wait_dyn(1, buf, r1, pcs[1, buf])
         m0, l0, a0 = _compute_dyn(0, buf, c0, valid0, lo0, m0, l0, a0,
                                   qg0)
         m1, l1, a1 = _compute_dyn(1, buf, c1, valid1, lo1, m1, l1, a1,
                                   qg1)
-        return m0, l0, a0, m1, l1, a1, npc0, npc1
+        return m0, l0, a0, m1, l1, a1, pcs
 
-    def _issue_dyn(slot, buf, row_c, valid, c, active):
-        return jax.lax.cond(
-            buf == 0,
-            lambda: issue_chunk(slot, 0, row_c, valid, c, active),
-            lambda: issue_chunk(slot, 1, row_c, valid, c, active),
-        )
-
-    def _wait_dyn(slot, buf, row_c, pc):
-        jax.lax.cond(
-            buf == 0,
-            lambda: wait_chunk(slot, 0, row_c, pc),
-            lambda: wait_chunk(slot, 1, row_c, pc),
-        )
-
-    def _compute_dyn(slot, buf, c, valid, lo, m, l, acc, qg):
-        return jax.lax.cond(
-            buf == 0,
-            lambda: compute_chunk(slot, 0, c, valid, lo, m, l, acc, qg),
-            lambda: compute_chunk(slot, 1, c, valid, lo, m, l, acc, qg),
-        )
-
-    m0, l0, a0, m1, l1, a1, _, _ = jax.lax.fori_loop(
-        0, n_iter, body, (m_i, l_i, a_i, m_i, l_i, a_i, pc0, pc1))
+    m0, l0, a0, m1, l1, a1, _ = jax.lax.fori_loop(
+        0, n_iter, body, (m_i, l_i, a_i, m_i, l_i, a_i, pcs))
 
     def finalize(slot, m, l, acc, qg, in_batch):
         if has_self:
@@ -380,10 +388,58 @@ def gather_chunk_scales(scale, tables, rows, layer, CT: int):
     return g.reshape(Tp, MC, Hkv, CP * B)
 
 
+def chunk_tokens_for(Hkv: int, D: int, kv_itemsize: int, q_itemsize: int,
+                     B: int, max_len: int, nbuf: int = 2) -> int:
+    """The decode kernel's chunk size (tokens) for a given shape — the
+    contract callers use to pre-gather chunked scales."""
+    return _chunk_tokens(Hkv, D, max(kv_itemsize, q_itemsize), B, max_len,
+                         nbuf)
+
+
+def precompute_chunk_scales(
+    k_scale, v_scale,  # [L, N, B, Hkv] f32
+    block_tables, token_rows,  # [S, MAXB], [T]
+    D: int, q_itemsize: int, nbuf: int | None = None,
+):
+    import os
+
+    nbuf = nbuf or int(os.environ.get("OMNI_TPU_DECODE_NBUF", 2))
+    """ALL-LAYER scale pre-gather, ONCE per step outside the layer scan.
+
+    Per-layer gathers inside the scan cost an XLA gather dispatch per
+    layer per K|V (~32 per decode substep) whose fixed cost exceeded
+    the int8 bandwidth savings (measured: int8 2036 tok/s vs bf16 2561
+    at ctx 2300 with per-layer gathers). One gather over the stacked
+    scale array amortizes it: returns (ks [L, Tp, MC, Hkv, CT],
+    vs [...], CT); the layer scan slices [li] (a few MB per layer) and
+    passes it via `chunk_scales`."""
+    L, N, B, Hkv = k_scale.shape
+    S, MAXB = block_tables.shape
+    T = token_rows.shape[0]
+    Tp = T + (T % 2)
+    CT = chunk_tokens_for(Hkv, D, 1, q_itemsize, B, MAXB * B, nbuf)
+    rows = jnp.pad(jnp.clip(token_rows, 0, S), (0, Tp - T),
+                   constant_values=S)
+    CP = CT // B
+    MC = max(1, -(-(MAXB * B) // CT))
+    t = block_tables[jnp.clip(rows, 0, S - 1)]  # [Tp, MAXB]
+    pad = MC * CP - MAXB
+    if pad > 0:
+        t = jnp.pad(t, ((0, 0), (0, pad)))
+
+    def one(scale):
+        g = scale[:, t]  # [L, Tp, MC*CP, B, Hkv]
+        g = g.reshape(L, Tp, MC, CP, B, Hkv)
+        g = jnp.transpose(g, (0, 1, 2, 5, 3, 4))  # [L, Tp, MC, Hkv, CP, B]
+        return g.reshape(L, Tp, MC, Hkv, CP * B)
+
+    return one(k_scale), one(v_scale), CT
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "has_self", "interpret",
-                     "chunk_tokens"),
+                     "chunk_tokens", "nbuf"),
 )
 def decode_paged_attention(
     q: jax.Array,  # [T, Hq, D]
@@ -405,12 +461,19 @@ def decode_paged_attention(
     # slices the stack (XLA would copy the slice per layer)
     k_scale: jax.Array | None = None,  # [(L,) N, B, Hkv] f32 per-slot
     v_scale: jax.Array | None = None,  # scales for int8 KV caches
+    chunk_scales: tuple | None = None,  # (ks, vs) [Tp, MC, Hkv, CT]
+    # from precompute_chunk_scales (ALL-layer gather amortized outside
+    # the layer scan) — preferred over k_scale/v_scale when both given
+    nbuf: int | None = None,  # DMA ring depth (default env/2)
 ) -> jax.Array:
+    import os
+
     T, Hq, D = q.shape
     S, MAXB = block_tables.shape
     stacked = k_cache.ndim == 5
     _, Hkv, B, _ = k_cache.shape[1:] if stacked else k_cache.shape
-    quantized = k_scale is not None
+    quantized = k_scale is not None or chunk_scales is not None
+    NBUF = nbuf or int(os.environ.get("OMNI_TPU_DECODE_NBUF", 2))
     if k_self is None:
         k_self = jnp.zeros((T, Hkv, D), q.dtype)
         v_self = jnp.zeros((T, Hkv, D), q.dtype)
@@ -430,7 +493,7 @@ def decode_paged_attention(
     # chunk
     CT = chunk_tokens or _chunk_tokens(
         Hkv, D, max(k_cache.dtype.itemsize, q.dtype.itemsize), B,
-        MAXB * B)
+        MAXB * B, NBUF)
     assert CT % B == 0, (CT, B)
 
     in_specs = [
@@ -441,16 +504,26 @@ def decode_paged_attention(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((2, 2, Hkv, CT, D), k_cache.dtype),
-        pltpu.VMEM((2, 2, Hkv, CT, D), v_cache.dtype),
-        pltpu.SemaphoreType.DMA((2, 2, 2)),
+        pltpu.VMEM((2, NBUF, Hkv, CT, D), k_cache.dtype),
+        pltpu.VMEM((2, NBUF, Hkv, CT, D), v_cache.dtype),
+        pltpu.SemaphoreType.DMA((2, 2, NBUF)),
     ]
     args = [q, k_self, v_self, k_cache, v_cache]
     if quantized:
         # pre-gathered chunk-major scales ride grid-blocked VMEM inputs
         # (one pair's whole context per step; Pallas double-buffers)
-        ks_g = gather_chunk_scales(k_scale, block_tables, rows, layer, CT)
-        vs_g = gather_chunk_scales(v_scale, block_tables, rows, layer, CT)
+        if chunk_scales is not None:
+            ks_g, vs_g = chunk_scales
+            assert ks_g.shape[-1] == CT, (ks_g.shape, CT)
+            if ks_g.shape[0] != Tp:  # T odd: pad the pair
+                padw = [(0, Tp - ks_g.shape[0])] + [(0, 0)] * 3
+                ks_g = jnp.pad(ks_g, padw)
+                vs_g = jnp.pad(vs_g, padw)
+        else:
+            ks_g = gather_chunk_scales(
+                k_scale, block_tables, rows, layer, CT)
+            vs_g = gather_chunk_scales(
+                v_scale, block_tables, rows, layer, CT)
         ks_g = ks_g.reshape(Tp // 2, 2, *ks_g.shape[1:])
         vs_g = vs_g.reshape(Tp // 2, 2, *vs_g.shape[1:])
         MC = ks_g.shape[2]
