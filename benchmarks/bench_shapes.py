@@ -108,7 +108,10 @@ def qwen3_omni_stage_configs(
                 engine_output_type="latent", load_format="random",
                 dtype="bfloat16", max_num_seqs=max_num_seqs,
                 max_num_batched_tokens=2048, block_size=16,
-                num_kv_cache_blocks=num_kv_cache_blocks),
+                num_kv_cache_blocks=num_kv_cache_blocks,
+                # latent stages fuse decode windows too (round 4):
+                # per-substep aux is stacked and sliced apart at drain
+                multi_step_decode=8),
             runtime=rt(),
             final_output=True, final_output_type="text",
             default_sampling_params={"temperature": 0.0,

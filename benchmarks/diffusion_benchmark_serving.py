@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import os
 import json
 import time
 
@@ -88,8 +89,11 @@ async def run_bench(args) -> dict:
     return summary
 
 
-def _self_serve(args):
-    """In-process server on a tiny random-weight pipeline (smoke mode)."""
+def _self_serve(args, flagship: bool = False):
+    """In-process server on a random-weight pipeline: tiny smoke shape
+    by default; --flagship serves the QwenImage-scale DiT (16L/3072d)
+    for the on-chip concurrent-serving datapoint (reference
+    diffusion_benchmark_serving.py online-throughput role)."""
     from aiohttp import web
 
     from vllm_omni_tpu.config.diffusion import OmniDiffusionConfig
@@ -107,17 +111,32 @@ def _self_serve(args):
 
     import numpy as np
 
-    od = OmniDiffusionConfig(model="bench-tiny", dtype="float32")
-    tf = QwenImageTransformerConfig(
-        num_layers=2, attention_head_dim=32, num_attention_heads=2,
-        joint_attention_dim=48, in_channels=16, out_channels=4,
-        axes_dims_rope=(8, 12, 12))
-    vae = QwenImageVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 2),
-                             num_res_blocks=1)
+    if flagship:
+        od = OmniDiffusionConfig(
+            model="bench-flagship", dtype="bfloat16",
+            vae_dtype=os.environ.get("BENCH_VAE_DTYPE", "bfloat16"))
+        tf = QwenImageTransformerConfig(
+            num_layers=int(os.environ.get("BENCH_DIT_LAYERS", 16)),
+            attention_head_dim=128, num_attention_heads=24,
+            joint_attention_dim=3072, in_channels=64, out_channels=16,
+            axes_dims_rope=(16, 56, 56))
+        vae = QwenImageVAEConfig(
+            base_dim=96, z_dim=16, dim_mult=(1, 2, 4, 4),
+            num_res_blocks=2, temperal_downsample=(False, True, True))
+        txt_dim = 3072
+    else:
+        od = OmniDiffusionConfig(model="bench-tiny", dtype="float32")
+        tf = QwenImageTransformerConfig(
+            num_layers=2, attention_head_dim=32, num_attention_heads=2,
+            joint_attention_dim=48, in_channels=16, out_channels=4,
+            axes_dims_rope=(8, 12, 12))
+        vae = QwenImageVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 2),
+                                 num_res_blocks=1)
+        txt_dim = 48
     rng = np.random.default_rng(0)
 
     def fake_text_encoder(prompts, drop_prefix=0):
-        e = rng.normal(size=(len(prompts), 6, 48)).astype(np.float32)
+        e = rng.normal(size=(len(prompts), 6, txt_dim)).astype(np.float32)
         return e, np.ones((len(prompts), 6), bool)
 
     pipe = QwenImagePipeline(od, transformer_config=tf, vae_config=vae,
@@ -132,9 +151,10 @@ def _self_serve(args):
         site = web.TCPSite(runner, "127.0.0.1", args.port)
         await site.start()
         args.base_url = f"http://127.0.0.1:{args.port}"
-        args.height = min(args.height, 64)
-        args.width = min(args.width, 64)
-        args.num_inference_steps = min(args.num_inference_steps or 2, 2)
+        if not flagship:
+            args.height = min(args.height, 64)
+            args.width = min(args.width, 64)
+            args.num_inference_steps = min(args.num_inference_steps or 2, 2)
         summary = await run_bench(args)
         await runner.cleanup()
         return summary
@@ -151,10 +171,12 @@ def main() -> None:
     p.add_argument("--num-inference-steps", type=int, default=20)
     p.add_argument("--concurrency", type=int, default=2)
     p.add_argument("--self-serve", action="store_true")
+    p.add_argument("--flagship", action="store_true",
+                   help="self-serve the QwenImage-scale DiT (on-chip)")
     p.add_argument("--port", type=int, default=18321)
     args = p.parse_args()
-    if args.self_serve:
-        summary = _self_serve(args)
+    if args.self_serve or args.flagship:
+        summary = _self_serve(args, flagship=args.flagship)
     else:
         summary = asyncio.run(run_bench(args))
     print(json.dumps(summary))

@@ -105,17 +105,26 @@ def main() -> None:
         ends = omni.metrics.request_end
         e2e = sorted(ends[r] - starts[r] for r in ends if r in starts)
 
+    # the reference's headline overall_tps counts every stage's
+    # generated tokens over the wall (qwen3_omni_moe_transformers.py:182
+    # total_tokens / total_time); audio finals carry no token ids, so
+    # the per-request token counter alone under-counts
+    stage_tokens = sum(ss.total_output_tokens
+                       for ss in omni.metrics.stage_stats.values())
     rec = {
         "num_prompts": len(inputs),
         "concurrency": args.concurrency,
         "errors": len(errors),
         "wall_s": round(wall, 3),
+        "overall_tps": round(stage_tokens / wall, 2) if wall > 0 else 0.0,
+        "total_stage_tokens": stage_tokens,
         **per_stage,
         "p50_e2e_s": round(e2e[len(e2e) // 2], 3) if e2e else None,
         "p99_e2e_s": (round(e2e[min(len(e2e) - 1, int(len(e2e) * 0.99))], 3)
                       if e2e else None),
         **{k: (round(v, 3) if isinstance(v, float) else v)
-           for k, v in summary.items() if k != "stages"},
+           for k, v in summary.items()
+           if k not in ("stages", "overall_tps")},
     }
     print(json.dumps(rec))
 

@@ -246,6 +246,11 @@ class Qwen3OmniTalker:
 
     def __init__(self, talker_cfg: dict[str, Any], dtype=jnp.float32):
         self.cfg = talker_cfg
+        # MoE impl knob, read at trace time: the lockstep-batched talker
+        # (talker_engine._generate_batched) vmaps forward over requests,
+        # and lax.ragged_dot has no batched-group_sizes vmap rule — the
+        # batched programs trace with "dense" (one-hot einsum)
+        self.moe_impl = "auto"
         tc = talker_cfg.get("text_config", talker_cfg)
         self.H = int(tc.get("hidden_size", 1024))
         self.L = int(tc.get("num_hidden_layers", 20))
@@ -374,7 +379,8 @@ class Qwen3OmniTalker:
             moe = moe_mlp(
                 h_n, p["router"], p["experts_gate"], p["experts_up"],
                 p["experts_down"], top_k=self.K,
-                norm_topk_prob=self.norm_topk_prob)
+                norm_topk_prob=self.norm_topk_prob,
+                impl=self.moe_impl)
             shared = _swiglu(h_n, p["shared_gate_proj"], p["shared_up_proj"],
                              p["shared_down_proj"])
             gate = jax.nn.sigmoid(

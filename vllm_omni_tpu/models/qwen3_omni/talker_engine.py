@@ -171,8 +171,16 @@ class TalkerEngine:
     def generate(self, prompts, sampling_params) -> list[RequestOutput]:
         if not isinstance(sampling_params, (list, tuple)):
             sampling_params = [sampling_params] * len(prompts)
-        return [self._generate_one(p, sp)
-                for p, sp in zip(prompts, sampling_params)]
+        if len(prompts) == 1:
+            return [self._generate_one(prompts[0], sampling_params[0])]
+        # concurrent serving: LOCKSTEP-BATCHED decode — the jitted
+        # prefill/decode step vmaps over requests, so a whole batch
+        # advances one frame per dispatch with ONE host sync (the
+        # sequential path cost a dispatch + tunnel round-trip per frame
+        # PER REQUEST, which serialized the talker stage at ~batch-1
+        # rate under the concurrency benchmark)
+        return self._generate_batched(list(prompts),
+                                      list(sampling_params))
 
     def generate_stream(self, prompt: dict[str, Any], sp=None):
         """Yield a partial RequestOutput per codec frame (mm "frame"),
@@ -183,6 +191,188 @@ class TalkerEngine:
         bit-identical to the completion-handoff path while the upstream
         thinker is still generating."""
         yield from self._run(prompt, sp, stream=True)
+
+    # --------------------------------------------------- batched programs
+    def _batched_prefill(self, P: int, Sb: int):
+        key = ("bp", P, Sb)
+        if key not in self._prefill_fns:
+            model = self.model
+
+            def one(params, embeds, positions, kv, valid_len, counts,
+                    temp, top_p, top_k, rp, sseed, suppress):
+                hidden, kv = model.forward(
+                    params, embeds, positions, kv, jnp.int32(0))
+                last = hidden[valid_len - 1]
+                logits = model.logits(params, last)
+                code, counts = self._sample(
+                    params, logits, counts, temp, top_p, top_k, rp,
+                    sseed, jnp.int32(0), suppress)
+                return code, last, kv, counts
+
+            self._prefill_fns[key] = jax.jit(
+                jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                       0, None)),
+                donate_argnums=(3,))
+        return self._prefill_fns[key]
+
+    def _batched_decode(self, Sb: int):
+        key = ("bd", Sb)
+        if key not in self._decode_fns:
+            model = self.model
+
+            def one(params, kv, cache_len, prev_code, past_hidden,
+                    trail_embed, position, counts, temp, top_p, top_k,
+                    rp, sseed, step, suppress):
+                last_id_hidden = model.embed_codec(params, prev_code)
+                codes, extra = model.predictor.rollout(
+                    params["code_predictor"], past_hidden, last_id_hidden,
+                    greedy=self.predictor_greedy,
+                    seed=(sseed.astype(jnp.uint32)
+                          + step.astype(jnp.uint32) * jnp.uint32(7919)))
+                inputs = (last_id_hidden + extra
+                          + trail_embed.astype(last_id_hidden.dtype))[None]
+                pos3 = jnp.broadcast_to(
+                    position.astype(jnp.float32), (3, 1))
+                hidden, kv = model.forward(
+                    params, inputs, pos3, kv, cache_len)
+                logits = model.logits(params, hidden[-1])
+                next_code, counts = self._sample(
+                    params, logits, counts, temp, top_p, top_k, rp,
+                    sseed, step, suppress)
+                frame = jnp.concatenate([prev_code[None], codes])
+                return frame, next_code, hidden[-1], kv, counts
+
+            self._decode_fns[key] = jax.jit(
+                jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                       0, 0, 0, None, None)),
+                donate_argnums=(1,))
+        return self._decode_fns[key]
+
+    @staticmethod
+    def _batch_bucket(n: int) -> int:
+        for b in (2, 4, 8, 16, 32):
+            if n <= b:
+                return b
+        return ((n + 31) // 32) * 32
+
+    def _generate_batched(self, prompts, sps) -> list[RequestOutput]:
+        model = self.model
+        # batched programs trace the dense MoE impl (ragged_dot has no
+        # vmap rule for batched group_sizes); restored for the
+        # sequential/streaming paths, whose traces read it lazily too
+        model.moe_impl = "dense"
+        try:
+            return self._generate_batched_inner(prompts, sps)
+        finally:
+            model.moe_impl = "auto"
+
+    def _generate_batched_inner(self, prompts, sps) -> list[RequestOutput]:
+        model = self.model
+        n = len(prompts)
+        Sb = self._batch_bucket(n)
+        H = np.asarray(prompts[0]["inputs_embeds"]).shape[1]
+        Ts = [np.asarray(p["inputs_embeds"]).shape[0] for p in prompts]
+        P = _bucket(max(Ts))
+        embeds = np.zeros((Sb, P, H), np.float32)
+        positions = np.zeros((Sb, 3, P), np.float32)
+        valid = np.ones((Sb,), np.int32)
+        deltas = np.zeros((Sb,), np.float32)
+        trails = []  # per row: [n_trail, H] projected text rows
+        pads = np.zeros((Sb, H), np.float32)
+        max_frames = np.full((Sb,), 1, np.int32)
+        temp = np.full((Sb,), 0.9, np.float32)
+        top_p = np.ones((Sb,), np.float32)
+        top_k = np.full((Sb,), 50, np.int32)
+        rp = np.full((Sb,), 1.05, np.float32)
+        sseed = np.full((Sb,), self.seed, np.uint32)
+        for i, (p, sp) in enumerate(zip(prompts, sps)):
+            e = np.asarray(p["inputs_embeds"], np.float32)
+            T = e.shape[0]
+            embeds[i, :T] = e
+            pos = np.asarray(p["mrope_positions"], np.float32)
+            positions[i, :, :T] = pos
+            positions[i, :, T:] = pos[:, -1:] + np.arange(1, P - T + 1)[None]
+            valid[i] = T
+            deltas[i] = float(p.get("mrope_delta", 0))
+            trails.append(np.asarray(p["trailing_text_hidden"], np.float32))
+            tp = np.asarray(p["tts_pad_embed"], np.float32)
+            pads[i] = tp[0] if tp.ndim > 1 else tp
+            max_frames[i] = int(getattr(sp, "max_tokens", None) or 2048)
+            temp[i] = getattr(sp, "temperature", 0.9)
+            top_p[i] = getattr(sp, "top_p", 1.0) or 1.0
+            top_k[i] = getattr(sp, "top_k", 50) or 50
+            rp[i] = getattr(sp, "repetition_penalty", 1.05) or 1.0
+            sseed[i] = getattr(sp, "seed", None) or self.seed
+        for i in range(n, Sb):  # pad rows: 1-token prompt, 1 frame
+            embeds[i, 0] = pads[0]
+            valid[i] = 1
+
+        kv0 = model.init_cache(self.max_len)
+        kvb = jax.tree.map(
+            lambda x: jnp.zeros((Sb,) + x.shape, x.dtype), kv0)
+        counts = jnp.zeros((Sb, model.V), jnp.int32)
+        code, hidden, kvb, counts = self._batched_prefill(P, Sb)(
+            self.params, jnp.asarray(embeds, model.dtype),
+            jnp.asarray(positions), kvb, jnp.asarray(valid), counts,
+            jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k),
+            jnp.asarray(rp), jnp.asarray(sseed), self.suppress_mask)
+
+        decode = self._batched_decode(Sb)
+        code_host = np.asarray(jax.device_get(code))
+        cache_len = valid.copy()
+        done = np.zeros((Sb,), bool)
+        done[n:] = True
+        end_reason = np.array(["length"] * Sb, object)
+        frames_per_row: list[list[np.ndarray]] = [[] for _ in range(Sb)]
+        step = 0
+        limit = int(max_frames[:n].max())
+        while not done.all() and step < limit:
+            done |= (code_host == self.eos_id)
+            for i in range(n):
+                if done[i] and end_reason[i] == "length" \
+                        and code_host[i] == self.eos_id:
+                    end_reason[i] = "stop"
+            if done.all():
+                break
+            trail = np.empty((Sb, H), np.float32)
+            for i in range(Sb):
+                tr = trails[i] if i < n else pads[:1]
+                trail[i] = tr[step] if step < tr.shape[0] else pads[i]
+            frame, code, hidden, kvb, counts = decode(
+                self.params, kvb, jnp.asarray(cache_len, jnp.int32),
+                code, hidden, jnp.asarray(trail),
+                jnp.asarray(cache_len + deltas, jnp.float32), counts,
+                jnp.asarray(temp), jnp.asarray(top_p),
+                jnp.asarray(top_k), jnp.asarray(rp), jnp.asarray(sseed),
+                jnp.int32(step + 1), self.suppress_mask)
+            frame_host, code_host = jax.device_get((frame, code))
+            frame_host = np.asarray(frame_host, np.int32)
+            code_host = np.asarray(code_host)
+            for i in range(n):
+                if not done[i] and step < max_frames[i]:
+                    frames_per_row[i].append(frame_host[i])
+            done |= (np.arange(Sb) < n) & (step + 1 >= max_frames)
+            cache_len = cache_len + 1
+            step += 1
+            if (cache_len.max() + 1) >= self.max_len:
+                break
+
+        outs = []
+        for i in range(n):
+            fr = frames_per_row[i]
+            codes = (np.stack(fr, axis=1) if fr
+                     else np.zeros((model.NQ, 0), np.int32))
+            outs.append(RequestOutput(
+                request_id=str(prompts[i].get("request_id", f"talker-{i}")),
+                prompt=None, prompt_token_ids=[],
+                outputs=[CompletionOutput(
+                    index=0, text="",
+                    token_ids=[int(c) for c in codes[0]],
+                    finish_reason=str(end_reason[i]),
+                    multimodal_output={"codes": codes})],
+                finished=True,
+            ))
+        return outs
 
     def _generate_one(self, prompt: dict[str, Any], sp) -> RequestOutput:
         out = None

@@ -287,8 +287,12 @@ def _kernel(
                         chunk_active(1, clo1 + b))
             for b in range(NBUF - 1)]
     zero = jnp.int32(0)
-    pcs = jnp.stack([jnp.stack(pcs0 + [zero]),
-                     jnp.stack(pcs1 + [zero])])  # [2, NBUF]
+    # per-buffer in-flight page counts as [NBUF] vectors; updates/reads
+    # use iota-selects (a traced-index scatter/gather does not lower in
+    # Pallas TPU kernels)
+    pcs0v = jnp.stack(pcs0 + [zero]).reshape(1, NBUF)
+    pcs1v = jnp.stack(pcs1 + [zero]).reshape(1, NBUF)
+    buf_iota = jax.lax.broadcasted_iota(jnp.int32, (1, NBUF), 1)
 
     m_i = jnp.full((Hkv, G, 1), NEG_INF, jnp.float32)
     l_i = jnp.zeros((Hkv, G, 1), jnp.float32)
@@ -301,7 +305,7 @@ def _kernel(
     n_iter = jnp.maximum(n_live0, n_live1)
 
     def body(i, carry):
-        m0, l0, a0, m1, l1, a1, pcs = carry
+        m0, l0, a0, m1, l1, a1, pcs0v, pcs1v = carry
         buf = jax.lax.rem(i, NBUF)
         ibuf = jax.lax.rem(i + NBUF - 1, NBUF)
         c0, c1 = clo0 + i, clo1 + i
@@ -311,18 +315,20 @@ def _kernel(
                           chunk_active(0, c0 + NBUF - 1))
         npc1 = _issue_dyn(1, ibuf, r1, valid1, c1 + NBUF - 1,
                           chunk_active(1, c1 + NBUF - 1))
-        pcs = pcs.at[0, ibuf].set(npc0)
-        pcs = pcs.at[1, ibuf].set(npc1)
-        _wait_dyn(0, buf, r0, pcs[0, buf])
-        _wait_dyn(1, buf, r1, pcs[1, buf])
+        pcs0v = jnp.where(buf_iota == ibuf, npc0, pcs0v)
+        pcs1v = jnp.where(buf_iota == ibuf, npc1, pcs1v)
+        pc0 = jnp.sum(jnp.where(buf_iota == buf, pcs0v, 0))
+        pc1 = jnp.sum(jnp.where(buf_iota == buf, pcs1v, 0))
+        _wait_dyn(0, buf, r0, pc0)
+        _wait_dyn(1, buf, r1, pc1)
         m0, l0, a0 = _compute_dyn(0, buf, c0, valid0, lo0, m0, l0, a0,
                                   qg0)
         m1, l1, a1 = _compute_dyn(1, buf, c1, valid1, lo1, m1, l1, a1,
                                   qg1)
-        return m0, l0, a0, m1, l1, a1, pcs
+        return m0, l0, a0, m1, l1, a1, pcs0v, pcs1v
 
-    m0, l0, a0, m1, l1, a1, _ = jax.lax.fori_loop(
-        0, n_iter, body, (m_i, l_i, a_i, m_i, l_i, a_i, pcs))
+    m0, l0, a0, m1, l1, a1, _, _ = jax.lax.fori_loop(
+        0, n_iter, body, (m_i, l_i, a_i, m_i, l_i, a_i, pcs0v, pcs1v))
 
     def finalize(slot, m, l, acc, qg, in_batch):
         if has_self:
