@@ -195,25 +195,13 @@ class Qwen2ForCausalLM:
 
                 kv_groups = prepare_page_groups(meta.slot_mapping, b_c)
 
-        # int8 KV decode: the chunk-scale gather is loop-invariant apart
-        # from the layer index — gather ALL layers in one XLA call here
-        # and slice per layer inside the scan (32 per-substep gathers
-        # measured slower than the int8 bandwidth savings they enable)
-        ks_all = vs_all = None
-        if kv_quant and defer_kv_write:
-            from vllm_omni_tpu.ops.attention.ragged_paged import (
-                decode_pallas_quantized_ok,
-            )
-
-            b_c, d_c = k_cache_in.shape[3], k_cache_in.shape[4]
-            if decode_pallas_quantized_ok(d_c, b_c):
-                from vllm_omni_tpu.ops.attention.pallas_decode import (
-                    precompute_chunk_scales,
-                )
-
-                ks_all, vs_all, _ = precompute_chunk_scales(
-                    ks_in, vs_in, meta.block_tables, meta.token_rows,
-                    D=d_c, q_itemsize=hidden.dtype.itemsize)
+        # int8 KV decode: scales are gathered chunk-major per layer
+        # inside decode_paged_attention. Two amortization attempts were
+        # measured SLOWER at ctx 2300 (BASELINE.md round 4): an
+        # all-layer XLA gather hoisted here (1561 tok/s) and a one-hot
+        # MXU matmul gather (1479) vs per-layer gathers (2036) — the
+        # extra materialization/transpose traffic exceeds what
+        # amortizing the gather dispatches saves.
 
         def layer(carry, xs):
             ks, vs = ks_in, vs_in
@@ -287,8 +275,6 @@ class Qwen2ForCausalLM:
                 layer=li,
                 k_scale=ks if kv_quant else None,
                 v_scale=vs if kv_quant else None,
-                chunk_scales=((ks_all[li], vs_all[li])
-                              if ks_all is not None else None),
             )
             attn_out = linear(attn.reshape(T, -1), p["o_proj"])
             h = res + psum_if(attn_out, tp_axis)

@@ -394,54 +394,6 @@ def gather_chunk_scales(scale, tables, rows, layer, CT: int):
     return g.reshape(Tp, MC, Hkv, CP * B)
 
 
-def chunk_tokens_for(Hkv: int, D: int, kv_itemsize: int, q_itemsize: int,
-                     B: int, max_len: int, nbuf: int = 2) -> int:
-    """The decode kernel's chunk size (tokens) for a given shape — the
-    contract callers use to pre-gather chunked scales."""
-    return _chunk_tokens(Hkv, D, max(kv_itemsize, q_itemsize), B, max_len,
-                         nbuf)
-
-
-def precompute_chunk_scales(
-    k_scale, v_scale,  # [L, N, B, Hkv] f32
-    block_tables, token_rows,  # [S, MAXB], [T]
-    D: int, q_itemsize: int, nbuf: int | None = None,
-):
-    import os
-
-    nbuf = nbuf or int(os.environ.get("OMNI_TPU_DECODE_NBUF", 2))
-    """ALL-LAYER scale pre-gather, ONCE per step outside the layer scan.
-
-    Per-layer gathers inside the scan cost an XLA gather dispatch per
-    layer per K|V (~32 per decode substep) whose fixed cost exceeded
-    the int8 bandwidth savings (measured: int8 2036 tok/s vs bf16 2561
-    at ctx 2300 with per-layer gathers). One gather over the stacked
-    scale array amortizes it: returns (ks [L, Tp, MC, Hkv, CT],
-    vs [...], CT); the layer scan slices [li] (a few MB per layer) and
-    passes it via `chunk_scales`."""
-    L, N, B, Hkv = k_scale.shape
-    S, MAXB = block_tables.shape
-    T = token_rows.shape[0]
-    Tp = T + (T % 2)
-    CT = chunk_tokens_for(Hkv, D, 1, q_itemsize, B, MAXB * B, nbuf)
-    rows = jnp.pad(jnp.clip(token_rows, 0, S), (0, Tp - T),
-                   constant_values=S)
-    CP = CT // B
-    MC = max(1, -(-(MAXB * B) // CT))
-    t = block_tables[jnp.clip(rows, 0, S - 1)]  # [Tp, MAXB]
-    pad = MC * CP - MAXB
-    if pad > 0:
-        t = jnp.pad(t, ((0, 0), (0, pad)))
-
-    def one(scale):
-        g = scale[:, t]  # [L, Tp, MC*CP, B, Hkv]
-        g = g.reshape(L, Tp, MC, CP, B, Hkv)
-        g = jnp.transpose(g, (0, 1, 2, 5, 3, 4))  # [L, Tp, MC, Hkv, CP, B]
-        return g.reshape(L, Tp, MC, Hkv, CP * B)
-
-    return one(k_scale), one(v_scale), CT
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "has_self", "interpret",
@@ -467,9 +419,6 @@ def decode_paged_attention(
     # slices the stack (XLA would copy the slice per layer)
     k_scale: jax.Array | None = None,  # [(L,) N, B, Hkv] f32 per-slot
     v_scale: jax.Array | None = None,  # scales for int8 KV caches
-    chunk_scales: tuple | None = None,  # (ks, vs) [Tp, MC, Hkv, CT]
-    # from precompute_chunk_scales (ALL-layer gather amortized outside
-    # the layer scan) — preferred over k_scale/v_scale when both given
     nbuf: int | None = None,  # DMA ring depth (default env/2)
 ) -> jax.Array:
     import os
@@ -478,7 +427,7 @@ def decode_paged_attention(
     S, MAXB = block_tables.shape
     stacked = k_cache.ndim == 5
     _, Hkv, B, _ = k_cache.shape[1:] if stacked else k_cache.shape
-    quantized = k_scale is not None or chunk_scales is not None
+    quantized = k_scale is not None
     NBUF = nbuf or int(os.environ.get("OMNI_TPU_DECODE_NBUF", 2))
     if k_self is None:
         k_self = jnp.zeros((T, Hkv, D), q.dtype)
@@ -518,18 +467,8 @@ def decode_paged_attention(
     if quantized:
         # pre-gathered chunk-major scales ride grid-blocked VMEM inputs
         # (one pair's whole context per step; Pallas double-buffers)
-        if chunk_scales is not None:
-            ks_g, vs_g = chunk_scales
-            assert ks_g.shape[-1] == CT, (ks_g.shape, CT)
-            if ks_g.shape[0] != Tp:  # T odd: pad the pair
-                padw = [(0, Tp - ks_g.shape[0])] + [(0, 0)] * 3
-                ks_g = jnp.pad(ks_g, padw)
-                vs_g = jnp.pad(vs_g, padw)
-        else:
-            ks_g = gather_chunk_scales(
-                k_scale, block_tables, rows, layer, CT)
-            vs_g = gather_chunk_scales(
-                v_scale, block_tables, rows, layer, CT)
+        ks_g = gather_chunk_scales(k_scale, block_tables, rows, layer, CT)
+        vs_g = gather_chunk_scales(v_scale, block_tables, rows, layer, CT)
         ks_g = ks_g.reshape(Tp // 2, 2, *ks_g.shape[1:])
         vs_g = vs_g.reshape(Tp // 2, 2, *vs_g.shape[1:])
         MC = ks_g.shape[2]

@@ -404,8 +404,6 @@ def ragged_paged_attention(
     layer=None,
     k_scale: Optional[jax.Array] = None,  # [(L,) N, B, Hkv] f32 —
     v_scale: Optional[jax.Array] = None,  # int8 KV cache scales
-    chunk_scales: Optional[tuple] = None,  # per-layer slice of
-    # precompute_chunk_scales (amortizes the gather over the layer scan)
 ):
     """Backend-dispatching entry point. k_self/v_self (deferred-write
     decode) route to the decode-shaped paths (pallas page streaming on
@@ -461,7 +459,6 @@ def ragged_paged_attention(
                 sliding_window=sliding_window, has_self=True,
                 layer=(layer if layer is not None else 0),
                 k_scale=k_scale, v_scale=v_scale,
-                chunk_scales=chunk_scales,
             )
         if stacked:
             k_cache, v_cache = k_cache[layer], v_cache[layer]
@@ -524,15 +521,3 @@ def ragged_paged_attention(
         sliding_window=sliding_window,
     )
 
-
-def decode_pallas_quantized_ok(D: int, B: int) -> bool:
-    """Will the int8-KV decode path take the Pallas kernel? Mirrors the
-    dispatch in ragged_paged_attention; models use it to decide whether
-    to amortize the chunk-scale pre-gather outside their layer scan."""
-    import os
-
-    from vllm_omni_tpu import envs
-
-    return (envs.is_tpu_platform()
-            and os.environ.get("OMNI_TPU_DECODE_ATTN", "pallas") == "pallas"
-            and D % 128 == 0 and B % 8 == 0)
