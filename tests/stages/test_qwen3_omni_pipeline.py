@@ -197,3 +197,36 @@ def test_qwen3_omni_pipeline_streaming_audio_chunks():
             omni.shutdown()
 
     asyncio.run(run())
+
+
+def test_qwen3_omni_pipeline_thinker_multi_step_matches_single():
+    """Fused thinker decode windows (emit_full_hidden stage): the
+    downstream talker consumes per-token hidden states sliced out of
+    the stacked window aux — the final waveform must match the
+    single-step pipeline (greedy)."""
+    import dataclasses
+
+    prompt_ids = (
+        [IM_START, SYSTEM, 5, 6]
+        + [IM_START, USER, 10, 11, 12]
+        + [IM_START, ASSISTANT, 20]
+    )
+
+    def run(ms):
+        cfgs = _stage_cfgs()
+        cfgs[0].engine_args = dataclasses.replace(
+            cfgs[0].engine_args, multi_step_decode=ms)
+        with Omni(stage_configs=cfgs) as omni:
+            outs = omni.generate({"prompt_token_ids": prompt_ids})
+        by_stage = {o.stage_id: o for o in outs}
+        assert not any(o.error for o in outs), [o.error for o in outs]
+        wav = np.asarray(by_stage[2].request_output.outputs[0]
+                         .multimodal_output["waveform"]).reshape(-1)
+        toks = list(by_stage[0].request_output.outputs[0].token_ids)
+        return toks, wav
+
+    toks1, wav1 = run(1)
+    toks2, wav2 = run(2)
+    assert toks2 == toks1
+    assert wav2.shape == wav1.shape
+    np.testing.assert_allclose(wav2, wav1, rtol=2e-4, atol=2e-5)

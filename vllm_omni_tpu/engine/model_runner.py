@@ -192,8 +192,9 @@ class ModelRunner:
                 "expert" if (self.mesh is not None and ep > 1) else None
             )
 
-        if num_steps > 1 and getattr(self.model, "emit_full_hidden", False):
-            raise ValueError("multi-step decode requires a text-only model")
+        # multi-step windows stack per-substep aux ([K, ...]) — latent /
+        # emit_full_hidden stages fuse too (engine/core._drain_many
+        # slices the window apart)
         # deferred KV writes: decode windows keep the cache out of every
         # loop carry (see qwen2.Qwen2ForCausalLM.forward docstring)
         defer_kv = num_steps > 1 and "defer_kv_write" in fwd_params
