@@ -24,6 +24,14 @@ from vllm_omni_tpu.core.sched.scheduler import Scheduler
 from vllm_omni_tpu.engine.model_runner import ModelRunner
 from vllm_omni_tpu.logger import init_logger
 
+# aux keys laid out on the TOKEN axis ([T, H]); all other aux is
+# row-axis ([S, ...]) — see ModelRunner.substep
+_TOKEN_AXIS_AUX = frozenset(
+    {"hidden_tokens", "embed_tokens_full", "capture_tokens"})
+# sampling bookkeeping that rides sampled_dev, never the mm payload
+_NON_MM_AUX = frozenset(
+    {"spec_tokens", "logprob_ids", "logprob_vals", "sampled_logprob"})
+
 logger = init_logger(__name__)
 
 
@@ -100,6 +108,19 @@ class EngineCore:
         else:
             self._extra_eos = set()
         self.output_type = mc.engine_output_type
+        # Latent-stage aux placement at drain time. Batch mode fetches
+        # aux to host inside the one batched device_get (per-row device
+        # slices cost a dispatch each: 3 keys x 32 rows x 256 steps
+        # measured 2274 -> 40 tok/s on the remote tunnel); the streaming
+        # drive keeps rows on device so the talker feed never leaves HBM
+        # (round-3 StreamFeed design).
+        self.stream_device_mm = False
+        # per-step mm keys the downstream stage reads (None = all
+        # row-axis aux); declared by the model — shipping unread hidden
+        # rows across the host boundary measured 20x decode loss on a
+        # remote-attached chip
+        self.step_mm_keys = getattr(
+            self.runner.model, "step_mm_keys", None)
 
     def add_request(self, request: Request) -> None:
         if self._extra_eos and not request.sampling_params.ignore_eos:
@@ -148,7 +169,23 @@ class EngineCore:
         items = [self._inflight.popleft() for _ in range(k)]
         # one blocking fetch for the whole window; shapes may differ
         # between single steps ([S]) and fused windows ([K, S])
-        fetched = jax.device_get(tuple(s for _, s, _ in items))
+        host_mm = self.output_type != "text" and not self.stream_device_mm
+        if host_mm:
+            # ship ONLY the per-step mm keys downstream reads, in the
+            # SAME fetch: no extra round-trip, and every downstream
+            # slice becomes numpy. Token-axis aux (prompt hidden) never
+            # crosses here — _collect_full_hidden keeps it on device.
+            keys = self.step_mm_keys
+            fetched = jax.device_get(tuple(
+                (s, {k: v for k, v in a.items()
+                     if (k in keys if keys is not None
+                         else k not in _TOKEN_AXIS_AUX | _NON_MM_AUX)})
+                for _, s, a in items))
+            items = [(sched, None, aux_h)
+                     for (sched, _, _), (_, aux_h) in zip(items, fetched)]
+            fetched = tuple(s for s, _ in fetched)
+        else:
+            fetched = jax.device_get(tuple(s for _, s, _ in items))
         outputs: list[EngineCoreOutput] = []
         for (sched, _, aux), samp in zip(items, fetched):
             spec_full = None
@@ -166,7 +203,9 @@ class EngineCore:
                     # per token, so slice the window apart (device
                     # slices — the rows stay in HBM for downstream
                     # stages). Text engines never read aux here.
-                    sub_aux = ({k: v[i] for k, v in aux.items()}
+                    keys = self.step_mm_keys
+                    sub_aux = ({k: v[i] for k, v in aux.items()
+                                if keys is None or k in keys}
                                if want_mm else aux)
                     outputs.extend(self._process_results(
                         sched, sub, sub_aux))
@@ -229,8 +268,21 @@ class EngineCore:
             mm: dict[str, Any] = {}
             if want_mm:
                 row = sched_out.rows[req.request_id]
+                # hidden_tokens/embed_tokens_full/capture_tokens are
+                # TOKEN-axis ([T, H]); everything else is row-axis
+                # ([S, ...]). Indexing the token axis by row id was only
+                # correct while rows were densely packed from 0 — under
+                # load (LIFO row reuse, out-of-order finishes) it read
+                # the wrong request's hidden rows, silently (jax clamps
+                # out-of-range indices on device).
+                tok_idx = int(sched_out.descriptor.logits_indices[row])
+                keys = self.step_mm_keys
                 for key, arr in aux.items():
-                    val = arr[row]
+                    if (key in _NON_MM_AUX
+                            or (keys is not None and key not in keys)):
+                        continue
+                    val = (arr[tok_idx] if key in _TOKEN_AXIS_AUX
+                           else arr[row])
                     req.multimodal_outputs.setdefault(key, []).append(val)
                     mm[key] = val
             new_tokens = list(getattr(req, "last_new_tokens", None) or (

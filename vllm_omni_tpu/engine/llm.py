@@ -250,16 +250,25 @@ class LLM:
         targets exceeding it."""
         rid = self.add_request(prompt, sampling_params or SamplingParams())
         done = False
-        while not done and self.core.has_unfinished():
-            for out in self.step():
-                if out.request_id != rid:
-                    if out.finished:
-                        # another in-flight request completed during this
-                        # stream: park it for its run_to_completion caller
-                        self._orphaned[out.request_id] = out
-                    continue
-                yield out
-                done = done or out.finished
+        # streamed latent rows stay on device end-to-end (StreamFeed
+        # contract); batch generate() instead host-fetches aux in the
+        # drain's one device_get
+        prev_mm = self.core.stream_device_mm
+        self.core.stream_device_mm = True
+        try:
+            while not done and self.core.has_unfinished():
+                for out in self.step():
+                    if out.request_id != rid:
+                        if out.finished:
+                            # another in-flight request completed during
+                            # this stream: park it for its
+                            # run_to_completion caller
+                            self._orphaned[out.request_id] = out
+                        continue
+                    yield out
+                    done = done or out.finished
+        finally:
+            self.core.stream_device_mm = prev_mm
         if not done and rid in self._active:
             raise RuntimeError(f"request {rid} never finished")
 

@@ -52,6 +52,8 @@ class Qwen2_5OmniThinkerForConditionalGeneration:
         # speech pipelines need full prompt hidden/embeds shipped to the
         # talker stage (reference gpu_ar_model_runner.py:388-418)
         self.emit_full_hidden = config.engine_output_type == "latent"
+        # thinker2talker (qwen2_5) reads per-step hidden AND embeds
+        self.step_mm_keys = ("last_hidden", "last_input_embed")
         # token ids for placeholders (HF thinker config)
         self.mrope_params = MRopeParams(
             tokens=MRopeTokenIds(

@@ -65,13 +65,21 @@ class Code2WavEngine:
                     self.params, codes, self.chunk_size, self.left_context)
             else:
                 wav = self.model.forward(self.params, codes)
-            outs.append(RequestOutput(
+            out = RequestOutput(
                 request_id="c2w", prompt=None, prompt_token_ids=list(flat),
                 outputs=[CompletionOutput(
                     index=0, text="", token_ids=[], finish_reason="stop",
                     multimodal_output={"waveform": wav})],
                 finished=True,
-            ))
+            )
+            # stage-tps work unit for the non-AR stage: codec frames
+            # synthesized (the reference's overall_tps counts every
+            # stage's tokens, qwen3_omni_moe_transformers.py:182; a
+            # waveform carries no token ids so the RequestOutput
+            # property alone reports 0)
+            out.metrics.num_prompt_tokens = len(flat)
+            out.metrics.num_generated_tokens = len(flat) // nq
+            outs.append(out)
         return outs
 
     def generate_stream(self, prompt, sampling_params=None):
@@ -109,7 +117,7 @@ class Code2WavEngine:
             start = end
             finished = start >= T
             full = jnp.concatenate(parts) if finished else None
-            yield RequestOutput(
+            out = RequestOutput(
                 request_id="c2w", prompt=None,
                 prompt_token_ids=list(flat) if finished else [],
                 outputs=[CompletionOutput(
@@ -121,6 +129,10 @@ class Code2WavEngine:
                     })],
                 finished=finished,
             )
+            if finished:
+                out.metrics.num_prompt_tokens = len(flat)
+                out.metrics.num_generated_tokens = T
+            yield out
 
     def _stream_from_feed(self, prompt):
         from vllm_omni_tpu.stages.streaming import StreamCancelled
@@ -169,7 +181,7 @@ class Code2WavEngine:
                 else jnp.zeros((0,), self.model.dtype))
         codes = (np.stack(frames, axis=1) if frames
                  else np.zeros((self.model.cfg.num_quantizers, 0), np.int32))
-        yield RequestOutput(
+        final = RequestOutput(
             request_id=rid, prompt=None,
             prompt_token_ids=[int(c) for c in codes.reshape(-1)],
             outputs=[CompletionOutput(
@@ -184,3 +196,6 @@ class Code2WavEngine:
                 })],
             finished=True,
         )
+        final.metrics.num_prompt_tokens = int(codes.size)
+        final.metrics.num_generated_tokens = len(frames)
+        yield final

@@ -61,6 +61,10 @@ class Qwen3OmniMoeThinkerForConditionalGeneration:
         self.visual = Qwen3VisionEncoder(self.vision_cfg, dtype=config.dtype)
         self.mrope_section = self.text.mrope_section
         self.emit_full_hidden = config.engine_output_type == "latent"
+        # per-decode-step mm payload the downstream stage actually reads
+        # (thinker2talker consumes only the re-entering token embeds;
+        # prompt hidden/capture ship once via _collect_full_hidden)
+        self.step_mm_keys = ("last_input_embed",)
         # talker taps thinker hidden states at accept_hidden_layer for
         # multimodal positions (HF Qwen3OmniMoeForConditionalGeneration.
         # generate: thinker_hidden); reachable via the parent omni config

@@ -30,6 +30,23 @@ logger = init_logger(__name__)
 STOP = object()  # queue sentinel
 
 
+def _output_work_tokens(out: Any) -> int:
+    """Per-request token count for stage tps metrics.
+
+    AR stages: generated token ids. Non-AR stages (code2wav) emit
+    waveforms with no token ids; their engines record the work unit
+    (codec frames synthesized) in RequestOutput.metrics instead — the
+    reference's overall_tps counts every stage's tokens
+    (qwen3_omni_moe_transformers.py:182)."""
+    if out is None:
+        return 0
+    n = getattr(out, "num_generated_tokens", 0) or 0
+    if not n:
+        m = getattr(out, "metrics", None)
+        n = getattr(m, "num_generated_tokens", 0) or 0
+    return n
+
+
 def prepare_sampling_params(
     defaults: dict[str, Any], override: Optional[SamplingParams]
 ) -> SamplingParams:
@@ -356,8 +373,7 @@ class OmniStage:
                     arrival_ts=task.submitted_ts,
                     finished_ts=time.monotonic(),
                     gen_time_s=gen_time / max(len(batch), 1),
-                    num_output_tokens=getattr(out, "num_generated_tokens", 0)
-                    if hasattr(out, "num_generated_tokens") else 0,
+                    num_output_tokens=_output_work_tokens(out),
                 )
                 self.out_q.put(StageOutput(
                     request_id=task.request_id, stage_id=self.stage_id,
@@ -400,8 +416,7 @@ class OmniStage:
             request_id=task.request_id, stage_id=self.stage_id,
             arrival_ts=task.submitted_ts, finished_ts=time.monotonic(),
             gen_time_s=time.monotonic() - t0,
-            num_output_tokens=getattr(last, "num_generated_tokens", 0)
-            if hasattr(last, "num_generated_tokens") else 0,
+            num_output_tokens=_output_work_tokens(last),
         )
         self.out_q.put(StageOutput(
             request_id=task.request_id, stage_id=self.stage_id,
