@@ -84,3 +84,24 @@ def test_batched_matches_sequential_greedy():
         cb = b.outputs[0].multimodal_output["codes"]
         np.testing.assert_array_equal(cb, cs)
         assert b.outputs[0].finish_reason == s.outputs[0].finish_reason
+
+
+def test_batched_matches_sequential_multi_window(monkeypatch):
+    # force several K=4 decode windows (incl. a budget ending mid-window)
+    monkeypatch.setenv("OMNI_TPU_TALKER_WINDOW", "4")
+    eng = TalkerEngine(_cfg(), load_weights=False, dtype=jnp.float32,
+                       max_len=128, predictor_greedy=True,
+                       suppress_special=False)
+    rng = np.random.default_rng(1)
+    prompts = _prompts(3, rng)
+    sps = [SamplingParams(temperature=0.0, repetition_penalty=1.05,
+                          max_tokens=m) for m in (3, 11, 18)]
+
+    seq = [eng._generate_one(p, sp) for p, sp in zip(prompts, sps)]
+    bat = eng._generate_batched(list(prompts), list(sps))
+
+    for s, b in zip(seq, bat):
+        cs = s.outputs[0].multimodal_output["codes"]
+        cb = b.outputs[0].multimodal_output["codes"]
+        np.testing.assert_array_equal(cb, cs)
+        assert b.outputs[0].finish_reason == s.outputs[0].finish_reason

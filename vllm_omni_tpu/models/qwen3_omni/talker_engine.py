@@ -16,6 +16,7 @@ EOS check (frame codes + next token fetched together).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import numpy as np
@@ -248,6 +249,69 @@ class TalkerEngine:
                 donate_argnums=(1,))
         return self._decode_fns[key]
 
+    def _batched_decode_window(self, Sb: int, K: int, Tt: int):
+        """K lockstep frames per dispatch (Python-unrolled — a scan
+        carry would round-trip the KV cache per iteration). Trails ride
+        a single pre-uploaded [Sb, Tt, H] buffer indexed on device; the
+        host drains codes/frames once per window and replays the
+        per-frame EOS/collection bookkeeping exactly (RNG counters,
+        positions, and repetition counts advance identically to the
+        1-frame path)."""
+        key = ("bdw", Sb, K, Tt)
+        if key not in self._decode_fns:
+            model = self.model
+
+            def one(params, kv, cache_len, prev_code, past_hidden,
+                    trail_embed, position, counts, temp, top_p, top_k,
+                    rp, sseed, step, suppress):
+                last_id_hidden = model.embed_codec(params, prev_code)
+                codes, extra = model.predictor.rollout(
+                    params["code_predictor"], past_hidden, last_id_hidden,
+                    greedy=self.predictor_greedy,
+                    seed=(sseed.astype(jnp.uint32)
+                          + step.astype(jnp.uint32) * jnp.uint32(7919)))
+                inputs = (last_id_hidden + extra
+                          + trail_embed.astype(last_id_hidden.dtype))[None]
+                pos3 = jnp.broadcast_to(
+                    position.astype(jnp.float32), (3, 1))
+                hidden, kv = model.forward(
+                    params, inputs, pos3, kv, cache_len)
+                logits = model.logits(params, hidden[-1])
+                next_code, counts = self._sample(
+                    params, logits, counts, temp, top_p, top_k, rp,
+                    sseed, step, suppress)
+                frame = jnp.concatenate([prev_code[None], codes])
+                return frame, next_code, hidden[-1], kv, counts
+
+            vone = jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0,
+                                          0, 0, 0, 0, None, None))
+
+            def window(params, kv, cache_len, code, hidden, trails,
+                       trail_lens, pads, deltas, counts, temp, top_p,
+                       top_k, rp, sseed, step0, suppress):
+                frames_k = []
+                codes_k = []
+                for k in range(K):
+                    step = step0 + k
+                    t = jax.lax.dynamic_index_in_dim(
+                        trails, jnp.clip(step, 0, Tt - 1), axis=1,
+                        keepdims=False)
+                    trail = jnp.where(
+                        (step < trail_lens)[:, None], t, pads)
+                    pos = (cache_len.astype(jnp.float32) + deltas)
+                    frame, code, hidden, kv, counts = vone(
+                        params, kv, cache_len, code, hidden, trail, pos,
+                        counts, temp, top_p, top_k, rp, sseed,
+                        step + 1, suppress)
+                    cache_len = cache_len + 1
+                    frames_k.append(frame)
+                    codes_k.append(code)
+                return (jnp.stack(frames_k), jnp.stack(codes_k), code,
+                        hidden, kv, counts, cache_len)
+
+            self._decode_fns[key] = jax.jit(window, donate_argnums=(1,))
+        return self._decode_fns[key]
+
     @staticmethod
     def _batch_bucket(n: int) -> int:
         for b in (2, 4, 8, 16, 32):
@@ -307,7 +371,11 @@ class TalkerEngine:
             embeds[i, 0] = pads[0]
             valid[i] = 1
 
-        kv0 = model.init_cache(self.max_len)
+        # K-1 frames of KV headroom: a decode window always runs K
+        # frames even when the budget ends mid-window (collection stops
+        # at `limit`; the extra writes must still land inside the cache)
+        _K = max(1, int(os.environ.get("OMNI_TPU_TALKER_WINDOW", "8")))
+        kv0 = model.init_cache(self.max_len + _K)
         kvb = jax.tree.map(
             lambda x: jnp.zeros((Sb,) + x.shape, x.dtype), kv0)
         counts = jnp.zeros((Sb, model.V), jnp.int32)
@@ -317,15 +385,32 @@ class TalkerEngine:
             jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k),
             jnp.asarray(rp), jnp.asarray(sseed), self.suppress_mask)
 
-        decode = self._batched_decode(Sb)
         code_host = np.asarray(jax.device_get(code))
         cache_len = valid.copy()
         done = np.zeros((Sb,), bool)
         done[n:] = True
         end_reason = np.array(["length"] * Sb, object)
         frames_per_row: list[list[np.ndarray]] = [[] for _ in range(Sb)]
+        # frame budget: per-request max_frames, capped so KV writes stay
+        # inside the cache (same bound as the 1-frame loop's
+        # cache_len.max()+1 >= max_len break)
+        limit = min(int(max_frames[:n].max()),
+                    self.max_len - int(valid.max()) - 1)
+        K = max(1, min(
+            int(os.environ.get("OMNI_TPU_TALKER_WINDOW", "8")), limit))
+        # trails ride ONE device buffer (the 1-frame loop uploaded a
+        # [Sb, H] trail per frame — ~33 MB of host->device per batch);
+        # model-dtype cast here is the same cast the step applies
+        Tt = _bucket(max([t.shape[0] for t in trails] + [1]))
+        trails_arr = np.zeros((Sb, Tt, H), np.float32)
+        trail_lens = np.ones((Sb,), np.int32)
+        for i in range(n):
+            trails_arr[i, : trails[i].shape[0]] = trails[i]
+            trail_lens[i] = trails[i].shape[0]
+        trails_dev = jnp.asarray(trails_arr, model.dtype)
+        pads_dev = jnp.asarray(pads, model.dtype)
+        window = self._batched_decode_window(Sb, K, Tt)
         step = 0
-        limit = int(max_frames[:n].max())
         while not done.all() and step < limit:
             done |= (code_host == self.eos_id)
             for i in range(n):
@@ -334,28 +419,33 @@ class TalkerEngine:
                     end_reason[i] = "stop"
             if done.all():
                 break
-            trail = np.empty((Sb, H), np.float32)
-            for i in range(Sb):
-                tr = trails[i] if i < n else pads[:1]
-                trail[i] = tr[step] if step < tr.shape[0] else pads[i]
-            frame, code, hidden, kvb, counts = decode(
+            frames_w, codes_w, code, hidden, kvb, counts, _ = window(
                 self.params, kvb, jnp.asarray(cache_len, jnp.int32),
-                code, hidden, jnp.asarray(trail),
-                jnp.asarray(cache_len + deltas, jnp.float32), counts,
+                code, hidden, trails_dev, jnp.asarray(trail_lens),
+                pads_dev, jnp.asarray(deltas, jnp.float32), counts,
                 jnp.asarray(temp), jnp.asarray(top_p),
                 jnp.asarray(top_k), jnp.asarray(rp), jnp.asarray(sseed),
-                jnp.int32(step + 1), self.suppress_mask)
-            frame_host, code_host = jax.device_get((frame, code))
-            frame_host = np.asarray(frame_host, np.int32)
-            code_host = np.asarray(code_host)
-            for i in range(n):
-                if not done[i] and step < max_frames[i]:
-                    frames_per_row[i].append(frame_host[i])
-            done |= (np.arange(Sb) < n) & (step + 1 >= max_frames)
-            cache_len = cache_len + 1
-            step += 1
-            if (cache_len.max() + 1) >= self.max_len:
-                break
+                jnp.int32(step), self.suppress_mask)
+            frames_host, codes_host = jax.device_get((frames_w, codes_w))
+            frames_host = np.asarray(frames_host, np.int32)
+            codes_host = np.asarray(codes_host)
+            # replay the 1-frame bookkeeping over the window
+            for k in range(K):
+                if k > 0:
+                    done |= (code_host == self.eos_id)
+                    for i in range(n):
+                        if done[i] and end_reason[i] == "length" \
+                                and code_host[i] == self.eos_id:
+                            end_reason[i] = "stop"
+                if step + k < limit:
+                    for i in range(n):
+                        if not done[i] and step + k < max_frames[i]:
+                            frames_per_row[i].append(frames_host[k, i])
+                    done |= ((np.arange(Sb) < n)
+                             & (step + k + 1 >= max_frames))
+                code_host = codes_host[k]
+            cache_len = cache_len + K
+            step += K
 
         outs = []
         for i in range(n):
