@@ -12,11 +12,20 @@ Design (interface shared with ops/attention/ragged_paged.py):
   derived arithmetically from it, using the scheduler contract
   position(t) = seq_len - q_len + (t - q_start)   for t in a row's segment.
 - for each (tile, kv head): loop the sequences the tile touches; stream
-  that row's KV pages HBM→VMEM with double-buffered async DMA and run
-  online-softmax flash accumulation masked to the tokens owned by the row.
+  that row's KV pages HBM→VMEM in CHUNKS of CT tokens (CP = CT/B pages per
+  chunk), double-buffered: chunk c+1's page DMAs are issued before chunk
+  c's compute, and a full chunk's CP page signals are drained by ONE
+  chunk-sized semaphore wait (waits consume byte counts — the same trick
+  as pallas_decode.py; per-page waits and per-page online-softmax updates
+  made the original per-page variant run prefill at <10% MFU: a 16-wide
+  score matmul wastes the 128-lane MXU and the [R, D] accumulator rescale
+  ran once per 16 tokens instead of once per CT).
+- causal upper bound: a q tile only visits KV chunks up to the LAST
+  visible position of its tokens (seq_len - q_len + last_tile_token), so
+  prefill does the causal half of the square, not all of it.
 - queries of the G = Hq/Hkv grouped heads are folded into the lane dim
   ([Hkv, T, G*D] layout) so blocks satisfy TPU tiling and the score matmul
-  is [TQ*G, D] @ [D, B] — decode still feeds the MXU reasonable tiles.
+  is [TQ*G, D] @ [D, CT] — decode still feeds the MXU reasonable tiles.
 """
 
 from __future__ import annotations
@@ -29,6 +38,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# KV chunk size target (tokens). Each of the 2 ring slots stages a
+# [CT, D] K and V tile: at CT=512/D=128/bf16 that is 512 KiB total —
+# well inside the ~16 MiB scoped-vmem stack XLA budgets for the call.
+_CHUNK_TOKENS = 512
 
 
 def _kernel(
@@ -46,8 +60,8 @@ def _kernel(
     # outputs
     out_ref,  # [1, TQ, G*D] VMEM tile
     # scratch
-    k_buf,  # [2, B, D] VMEM
-    v_buf,  # [2, B, D]
+    k_buf,  # [2, CT, D] VMEM (2 ring slots of one KV chunk each)
+    v_buf,  # [2, CT, D]
     acc_ref,  # [TQ*G, D] f32
     m_ref,  # [TQ*G, 128] f32
     l_ref,  # [TQ*G, 128] f32
@@ -60,12 +74,15 @@ def _kernel(
     logit_cap: float,
     sliding_window: int,
     stacked: bool,
+    chunk_pages: int,
 ):
     li = layer_ref[0]
     qc = pl.program_id(0)
     h = pl.program_id(1)
     _, TQ, GD = q_ref.shape
     B = block_size
+    CP = chunk_pages
+    CT = CP * B
     D = k_buf.shape[-1]
     G = GD // D
     R = TQ * G
@@ -84,60 +101,84 @@ def _kernel(
     q = q_ref[0].reshape(R, D)
 
     # token index of each score row (G head-group rows per token)
-    tok_idx = t0 + jax.lax.broadcasted_iota(jnp.int32, (R, B), 0) // G
-    kv_off = jax.lax.broadcasted_iota(jnp.int32, (R, B), 1)
+    tok_idx = t0 + jax.lax.broadcasted_iota(jnp.int32, (R, CT), 0) // G
+    kv_off = jax.lax.broadcasted_iota(jnp.int32, (R, CT), 1)
 
-    def get_dma(kv, buf_slot, cache_ref, buf, blk):
-        src = (cache_ref.at[li, blk, h] if stacked
-               else cache_ref.at[blk, h])  # contiguous [B, D] page
-        return pltpu.make_async_copy(
-            src,
-            buf.at[buf_slot],
-            sems.at[kv, buf_slot],
-        )
+    def issue_chunk(slot, s, c):
+        """Start the CP page DMAs of chunk c into ring slot `slot`.
+
+        Page indices past the row's table extent are clamped — the pad
+        entries point at reserved block 0, the mask zeroes their scores,
+        and issuing ALL CP pages keeps the chunk's byte count constant so
+        one chunk-sized wait drains the slot."""
+        for p in range(CP):  # static unroll: CP DMA issues
+            j = c * CP + p
+            blk = block_tables_ref[
+                s * max_blocks + jnp.minimum(j, max_blocks - 1)]
+            ksrc = (k_hbm_ref.at[li, blk, h] if stacked
+                    else k_hbm_ref.at[blk, h])  # contiguous [B, D] page
+            vsrc = (v_hbm_ref.at[li, blk, h] if stacked
+                    else v_hbm_ref.at[blk, h])
+            pltpu.make_async_copy(
+                ksrc, k_buf.at[slot, pl.ds(p * B, B)], sems.at[0, slot]
+            ).start()
+            pltpu.make_async_copy(
+                vsrc, v_buf.at[slot, pl.ds(p * B, B)], sems.at[1, slot]
+            ).start()
+
+    def wait_chunk(slot):
+        """Drain ALL CP page signals of the slot with ONE chunk-sized
+        wait (DMA semaphore waits consume the descriptor's byte count —
+        per-page waits were the dominant fixed cost of the old per-page
+        variant; src of the dummy descriptor is irrelevant)."""
+        pltpu.make_async_copy(
+            k_buf.at[slot], k_buf.at[slot], sems.at[0, slot]).wait()
+        pltpu.make_async_copy(
+            v_buf.at[slot], v_buf.at[slot], sems.at[1, slot]).wait()
 
     def process_row(s, _):
         seq_len = seq_lens_ref[s]
         q_start = q_starts_ref[s]
         q_len = q_lens_ref[s]
-        nblk = pl.cdiv(seq_len, B)
         # tokens of row s inside this tile, and their absolute positions
         row_mask = (tok_idx >= q_start) & (tok_idx < q_start + q_len)
-        tok_pos = seq_len - q_len + (tok_idx - q_start)  # [R, B]
+        tok_pos = seq_len - q_len + (tok_idx - q_start)  # [R, CT]
+        # causal upper bound: the LAST tile token of this row sees
+        # positions <= pos_max, so chunks past it are fully masked and
+        # never streamed (prefill does the causal half, not the square)
+        tmax = jnp.minimum(q_start + q_len, t0 + TQ) - 1
+        pos_max = seq_len - q_len + (tmax - q_start)
+        ext = jnp.minimum(seq_len, pos_max + 1)
+        n_ch = pl.cdiv(ext, CT)
 
-        def kv_step(j, _):
-            slot = jax.lax.rem(j, 2)
-            # prefetch next block while computing this one
-            @pl.when(j + 1 < nblk)
+        def kv_step(c, _):
+            slot = jax.lax.rem(c, 2)
+            # prefetch next chunk while computing this one
+            @pl.when(c + 1 < n_ch)
             def _():
-                blk_next = block_tables_ref[s * max_blocks + j + 1]
-                nslot = jax.lax.rem(j + 1, 2)
-                get_dma(0, nslot, k_hbm_ref, k_buf, blk_next).start()
-                get_dma(1, nslot, v_hbm_ref, v_buf, blk_next).start()
+                issue_chunk(jax.lax.rem(c + 1, 2), s, c + 1)
 
-            blk = block_tables_ref[s * max_blocks + j]
-            get_dma(0, slot, k_hbm_ref, k_buf, blk).wait()
-            get_dma(1, slot, v_hbm_ref, v_buf, blk).wait()
-
-            k = k_buf[slot]  # [B, D]
+            wait_chunk(slot)
+            k = k_buf[slot]  # [CT, D]
             v = v_buf[slot]
             scores = jax.lax.dot_general(
                 q, k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale  # [R, B] f32
+            ) * scale  # [R, CT] f32
             if logit_cap > 0.0:
                 scores = logit_cap * jnp.tanh(scores / logit_cap)
-            kv_pos = j * B + kv_off  # [R, B]
+            kv_pos = c * CT + kv_off  # [R, CT]
             mask = row_mask & (kv_pos <= tok_pos) & (kv_pos < seq_len)
             if sliding_window > 0:
                 mask &= kv_pos > tok_pos - sliding_window
             scores = jnp.where(mask, scores, NEG_INF)
 
             m_prev = m_ref[:, :1]  # [R, 1]
-            m_cur = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+            m_cur = jnp.maximum(m_prev, jnp.max(scores, axis=1,
+                                                keepdims=True))
             alpha = jnp.exp(m_prev - m_cur)
-            p = jnp.exp(scores - m_cur)  # [R, B]
+            p = jnp.exp(scores - m_cur)  # [R, CT]
             p = jnp.where(mask, p, 0.0)
             l_cur = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
             acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
@@ -147,12 +188,10 @@ def _kernel(
             l_ref[:, :1] = l_cur
             return 0
 
-        @pl.when((nblk > 0) & (q_len > 0))
+        @pl.when((n_ch > 0) & (q_len > 0))
         def _():
-            blk0 = block_tables_ref[s * max_blocks]
-            get_dma(0, 0, k_hbm_ref, k_buf, blk0).start()
-            get_dma(1, 0, v_hbm_ref, v_buf, blk0).start()
-            jax.lax.fori_loop(0, nblk, kv_step, 0)
+            issue_chunk(0, s, 0)
+            jax.lax.fori_loop(0, n_ch, kv_step, 0)
 
         return 0
 
@@ -166,7 +205,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "logit_cap", "sliding_window", "q_tile",
-                     "interpret"),
+                     "chunk_tokens", "interpret"),
 )
 def ragged_paged_attention_pallas(
     q: jax.Array,  # [T, Hq, D]
@@ -182,6 +221,7 @@ def ragged_paged_attention_pallas(
     logit_cap: float = 0.0,
     sliding_window: int = 0,
     q_tile: int = 128,
+    chunk_tokens: int = _CHUNK_TOKENS,
     interpret: bool = False,
     layer: jax.Array | int = 0,  # layer index for a stacked cache (the
     # kernel indexes [layer, block] itself; slicing a stack with a
@@ -196,6 +236,9 @@ def ragged_paged_attention_pallas(
     assert T % TQ == 0, f"token count {T} not a multiple of tile {TQ}"
     num_tiles = T // TQ
     R = TQ * G
+    # pages per chunk: aim at chunk_tokens, bounded by the table extent
+    CP = max(1, min(chunk_tokens // B, MAXB))
+    CT = CP * B
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -213,8 +256,8 @@ def ragged_paged_attention_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, B, D), k_cache.dtype),
-            pltpu.VMEM((2, B, D), v_cache.dtype),
+            pltpu.VMEM((2, CT, D), k_cache.dtype),
+            pltpu.VMEM((2, CT, D), v_cache.dtype),
             pltpu.VMEM((R, D), jnp.float32),
             pltpu.VMEM((R, 128), jnp.float32),
             pltpu.VMEM((R, 128), jnp.float32),
@@ -231,6 +274,7 @@ def ragged_paged_attention_pallas(
         logit_cap=logit_cap,
         sliding_window=sliding_window,
         stacked=stacked,
+        chunk_pages=CP,
     )
 
     # GQA layout: q heads of kv group h are adjacent (i // G == h); fold the

@@ -87,12 +87,15 @@ def write_kv_layer(
 
 
 # The grouped prefill kernel stages the FULL k_new/v_new [T, Hkv, D]
-# in VMEM (whole-array BlockSpecs). Cap the combined staging footprint
-# well under Mosaic's VMEM budget (~128 MiB on v5e, shared with the
-# page scratch): stage configs allow max_num_batched_tokens up to 32k,
-# which at Hkv=8/D=128/bf16 would be ~128 MiB of K+V and fail to
-# compile. Above the cap the write falls back to the XLA scatter.
-_GROUPED_KV_VMEM_CAP_BYTES = 48 * 1024 * 1024
+# in VMEM (whole-array BlockSpecs). XLA budgets custom calls against a
+# ~16 MiB *scoped* vmem stack (not the full 128 MiB VMEM) when the call
+# sits inside a larger jitted program: an 8192-token prefill at
+# Hkv=8/D=128/bf16 (16 MiB per staged array) failed AOT compile with
+# "scoped allocation 16.06M, limit 16.00M". Cap the combined staging
+# footprint at 12 MiB so each staged array plus the page scratch stays
+# well inside that stack; above the cap the write falls back to the
+# XLA scatter (prefill at those sizes is compute-bound anyway).
+_GROUPED_KV_VMEM_CAP_BYTES = 12 * 1024 * 1024
 
 
 def _pallas_kv_write_ok(B: int, D: int) -> bool:
