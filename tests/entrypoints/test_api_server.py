@@ -332,3 +332,125 @@ def test_chat_stream_n_choices_and_logprobs():
             assert body.rstrip().endswith("data: [DONE]")
 
     run(go())
+
+
+class FakeAsyncOmniText:
+    """Engine whose final text is configurable — for parser tests."""
+
+    def __init__(self, text):
+        self.text = text
+        self.last_sampling = None
+
+    async def generate(self, prompt, request_id=None, sampling_params=None,
+                       output_modality=None, stream=False):
+        self.last_sampling = sampling_params
+        ro = RequestOutput(
+            request_id=request_id, prompt=None, prompt_token_ids=[1, 2],
+            outputs=[CompletionOutput(
+                index=0, text=self.text, token_ids=[7, 8],
+                finish_reason="stop")],
+            finished=True,
+        )
+        yield OmniRequestOutput.from_stage(request_id, 0, "text", ro)
+
+    async def check_health(self):
+        return None
+
+
+WEATHER_TOOL = {
+    "type": "function",
+    "function": {
+        "name": "get_weather",
+        "description": "Get weather",
+        "parameters": {"type": "object",
+                       "properties": {"city": {"type": "string"}},
+                       "required": ["city"]},
+    },
+}
+
+
+def test_chat_tool_call_auto_extraction():
+    """Hermes-format <tool_call> blocks -> tool_calls choices +
+    reasoning_content split (reference serving_chat.py:617-760)."""
+    async def go():
+        text = ("<think>user wants weather</think>Checking.\n"
+                '<tool_call>{"name": "get_weather", '
+                '"arguments": {"city": "Paris"}}</tool_call>')
+        eng = FakeAsyncOmniText(text)
+        async with make_client(engine_client=eng) as c:
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "weather?"}],
+                "tools": [WEATHER_TOOL], "modalities": ["text"],
+            })
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            ch = body["choices"][0]
+            assert ch["finish_reason"] == "tool_calls"
+            msg = ch["message"]
+            assert msg["reasoning_content"] == "user wants weather"
+            assert msg["content"] == "Checking."
+            tc = msg["tool_calls"][0]
+            assert tc["type"] == "function"
+            assert tc["function"]["name"] == "get_weather"
+            import json as _json
+
+            assert _json.loads(tc["function"]["arguments"]) == {
+                "city": "Paris"}
+            assert tc["id"].startswith("chatcmpl-tool-")
+
+    run(go())
+
+
+def test_chat_tool_call_named_choice_schema_constrained():
+    """Named tool_choice: whole content becomes the arguments and the
+    engine is grammar-constrained to the tool's parameter schema."""
+    async def go():
+        eng = FakeAsyncOmniText('{"city": "Tokyo"}')
+        async with make_client(engine_client=eng) as c:
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "weather?"}],
+                "tools": [WEATHER_TOOL],
+                "tool_choice": {"type": "function",
+                                "function": {"name": "get_weather"}},
+                "modalities": ["text"],
+            })
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            ch = body["choices"][0]
+            assert ch["finish_reason"] == "tool_calls"
+            msg = ch["message"]
+            assert msg["content"] is None
+            assert msg["tool_calls"][0]["function"]["arguments"] == (
+                '{"city": "Tokyo"}')
+            # decoding was constrained to the tool's parameters schema
+            so = eng.last_sampling[0].structured_outputs
+            assert so == {"json": WEATHER_TOOL["function"]["parameters"]}
+
+    run(go())
+
+
+def test_chat_no_tools_passthrough_and_reasoning():
+    """Without tools, <tool_call> text passes through untouched but
+    reasoning is still split; include_reasoning=false drops it."""
+    async def go():
+        text = "<think>hmm</think>plain answer"
+        eng = FakeAsyncOmniText(text)
+        async with make_client(engine_client=eng) as c:
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "modalities": ["text"],
+            })
+            body = await r.json()
+            msg = body["choices"][0]["message"]
+            assert msg["content"] == "plain answer"
+            assert msg["reasoning_content"] == "hmm"
+            r = await c.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "modalities": ["text"], "include_reasoning": False,
+            })
+            body = await r.json()
+            msg = body["choices"][0]["message"]
+            assert msg["content"] == "plain answer"
+            assert "reasoning_content" not in msg
+
+    run(go())

@@ -18,6 +18,11 @@ class ChatMessage(BaseModel):
     role: str
     content: Union[str, list[dict[str, Any]], None] = None
     audio: Optional[dict[str, Any]] = None
+    # assistant tool-call turns and tool-result turns in the
+    # conversation history (OpenAI shape)
+    tool_calls: Optional[list[dict[str, Any]]] = None
+    tool_call_id: Optional[str] = None
+    name: Optional[str] = None
 
 
 class ChatCompletionRequest(BaseModel):
@@ -51,6 +56,14 @@ class ChatCompletionRequest(BaseModel):
     guided_json: Optional[Any] = None
     guided_regex: Optional[str] = None
     guided_choice: Optional[list[str]] = None
+    # tool calling (reference serving_chat.py:617-760: tool_parser +
+    # named/required tool_choice) — Hermes-format extraction; named
+    # tool_choice grammar-constrains arguments to the tool's schema
+    tools: Optional[list[dict[str, Any]]] = None
+    tool_choice: Union[str, dict[str, Any], None] = None
+    # reasoning content split (<think>...</think>); include_reasoning
+    # false drops it from the response (reference serving_chat.py:651)
+    include_reasoning: bool = True
     # Omni extension: per-stage sampling overrides keyed by stage id
     # (reference serving_chat.py:459 request-level overrides)
     stage_sampling_params: Optional[dict[str, dict[str, Any]]] = None

@@ -49,7 +49,16 @@ def parse_chat_content(
     for m in messages:
         content = m.content
         if content is None or isinstance(content, str):
-            out_msgs.append({"role": m.role, "content": content or ""})
+            msg: dict[str, Any] = {"role": m.role, "content": content or ""}
+            # tool-call turns survive into the chat template (assistant
+            # tool_calls + tool-role results)
+            if getattr(m, "tool_calls", None):
+                msg["tool_calls"] = m.tool_calls
+            if getattr(m, "tool_call_id", None):
+                msg["tool_call_id"] = m.tool_call_id
+            if getattr(m, "name", None):
+                msg["name"] = m.name
+            out_msgs.append(msg)
             continue
         text_parts: list[str] = []
         for part in content:
@@ -225,6 +234,18 @@ class OmniOpenAIServingChat:
             if v is not None:
                 base_overrides[k] = v
         so = self._structured_spec(request)
+        if so is None:
+            # named tool_choice: constrain decoding to the tool's
+            # parameter schema so arguments always parse (reference
+            # serving_chat.py:715-729 wraps the whole content as the
+            # call's arguments; we additionally grammar-constrain it)
+            from vllm_omni_tpu.entrypoints.openai.tool_parsing import (
+                named_tool_schema, tool_choice_mode)
+
+            if tool_choice_mode(request) == "named":
+                schema = named_tool_schema(request)
+                if schema is not None:
+                    so = {"json": schema}
         if so is not None:
             base_overrides["structured_outputs"] = so
 
@@ -317,10 +338,16 @@ class OmniOpenAIServingChat:
             out[sid] = sp
         return out
 
-    def _render_prompt(self, messages: list[dict[str, str]]):
+    def _render_prompt(self, messages: list[dict[str, str]], tools=None):
         if self.tokenizer is not None:
-            ids = self.tokenizer.apply_chat_template(
-                messages, add_generation_prompt=True)
+            kw = {"tools": tools} if tools else {}
+            try:
+                ids = self.tokenizer.apply_chat_template(
+                    messages, add_generation_prompt=True, **kw)
+            except TypeError:
+                # template/tokenizer without tools support
+                ids = self.tokenizer.apply_chat_template(
+                    messages, add_generation_prompt=True)
             return {"prompt_token_ids": ids}
         # no tokenizer: plain text prompt (engines may still accept it)
         text = "\n".join(f"{m['role']}: {m['content']}" for m in messages)
@@ -341,7 +368,7 @@ class OmniOpenAIServingChat:
 
         messages, mm = parse_chat_content(
             request.messages, request.mm_processor_kwargs)
-        prompt = self._render_prompt(messages)
+        prompt = self._render_prompt(messages, tools=request.tools)
         if mm:
             prompt["multi_modal_data"] = mm
             if request.mm_processor_kwargs:
@@ -450,6 +477,36 @@ class OmniOpenAIServingChat:
             await t  # surface exceptions
         yield "data: [DONE]\n\n"
 
+    @staticmethod
+    def _apply_text_parsers(request, message: dict, finish_reason):
+        """Reasoning-content split + tool-call extraction over the final
+        text (reference serving_chat.py:617-760: reasoning_parser /
+        tool_parser / named tool_choice). Mutates `message`, returns the
+        possibly-upgraded finish_reason."""
+        from vllm_omni_tpu.entrypoints.openai import tool_parsing as tp
+
+        text = message.get("content")
+        if not isinstance(text, str):
+            return finish_reason
+        reasoning, content = tp.extract_reasoning(text)
+        if reasoning is not None and request.include_reasoning:
+            message["reasoning_content"] = reasoning
+        message["content"] = content
+
+        mode = tp.tool_choice_mode(request)
+        if mode == "named":
+            name = request.tool_choice["function"]["name"]
+            message["tool_calls"] = tp.named_tool_call(name, content)
+            message["content"] = None
+            return "tool_calls"
+        if mode == "auto":
+            calls, rest = tp.extract_tool_calls(content)
+            if calls:
+                message["tool_calls"] = calls
+                message["content"] = rest
+                return "tool_calls"
+        return finish_reason
+
     async def _generate_choice(
         self,
         request: ChatCompletionRequest,
@@ -474,6 +531,8 @@ class OmniOpenAIServingChat:
                 comp = ro.outputs[0]
                 message["content"] = comp.text
                 finish_reason = comp.finish_reason
+                finish_reason = self._apply_text_parsers(
+                    request, message, finish_reason)
                 usage.prompt_tokens = len(ro.prompt_token_ids)
                 usage.completion_tokens = len(comp.token_ids)
                 if request.logprobs:
@@ -513,7 +572,7 @@ class OmniOpenAIServingChat:
 
         messages, mm = parse_chat_content(
             request.messages, request.mm_processor_kwargs)
-        prompt = self._render_prompt(messages)
+        prompt = self._render_prompt(messages, tools=request.tools)
         if mm:
             prompt["multi_modal_data"] = mm
             if request.mm_processor_kwargs:

@@ -104,6 +104,9 @@ class RemoteStage(OmniStage):
                     self.config, addr,
                     relaunch_cmd=getattr(
                         self.config.runtime, "relaunch_cmd", ""))
+                # placement path: a planned host may not be running yet —
+                # first launch rides the same template as recovery
+                self._supervisor.ensure_launched()
             self._connect(addr)
         except BaseException as e:
             self.init_error = e

@@ -155,6 +155,25 @@ class RemoteHostSupervisor:
     def start(self) -> str:
         return self.address
 
+    def ensure_launched(self) -> str:
+        """First launch (placement path): when the address is down and a
+        launch template exists, fire it and wait for the host to come
+        up. Does not count against max_restarts — this is bring-up, not
+        failure recovery (the reference gets this from Ray actor start,
+        ray_utils/utils.py:28-109)."""
+        if self.alive() or not self.relaunch_cmd:
+            return self.address
+        host, _, port = self.address.rpartition(":")
+        cmd = self.relaunch_cmd.format(
+            host=host or "127.0.0.1", port=port,
+            config=self._config_path())
+        logger.info("launching stage %d host at %s: %s",
+                    self.config.stage_id, self.address, cmd)
+        subprocess.Popen(cmd, shell=True, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+        self._wait_reachable()
+        return self.address
+
     def _config_path(self) -> str:
         if self._cfg_path is None:
             fd, self._cfg_path = tempfile.mkstemp(
