@@ -52,6 +52,32 @@ def test_ragged_matches_dense():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+def test_ragged_vmap_matches_dense():
+    """The custom_vmap rule (batch axis folds into tokens) must match the
+    dense oracle — this is the lockstep-batched talker's MoE trace."""
+    rng = np.random.default_rng(2)
+    B, T, H, E, I, K = 3, 5, 16, 4, 8, 2
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+    wg = jnp.asarray(rng.normal(size=(E, H, I)).astype(np.float32) * 0.1)
+    wu = jnp.asarray(rng.normal(size=(E, H, I)).astype(np.float32) * 0.1)
+    wd = jnp.asarray(rng.normal(size=(E, I, H)).astype(np.float32) * 0.1)
+    logits = jnp.asarray(rng.normal(size=(B, T, E)).astype(np.float32))
+    w, idx = jax.vmap(lambda l: route_top_k(l, K))(logits)
+    a = jax.jit(jax.vmap(lambda x, w, i: _experts_dense(x, wg, wu, wd, w, i)))(
+        x, w, idx)
+    b = jax.jit(jax.vmap(lambda x, w, i: _experts_ragged(x, wg, wu, wd, w, i)))(
+        x, w, idx)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                               atol=2e-5)
+    # unbatched weights/idx broadcast correctly too
+    c = jax.jit(jax.vmap(lambda x: _experts_ragged(
+        x, wg, wu, wd, w[0], idx[0])))(x)
+    d = jax.jit(jax.vmap(lambda x: _experts_dense(
+        x, wg, wu, wd, w[0], idx[0])))(x)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d), rtol=2e-4,
+                               atol=2e-5)
+
+
 def make_llm(tp=1, ep=1, impl="auto"):
     args = EngineArgs(
         model="tiny-moe",

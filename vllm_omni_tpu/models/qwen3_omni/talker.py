@@ -246,10 +246,11 @@ class Qwen3OmniTalker:
 
     def __init__(self, talker_cfg: dict[str, Any], dtype=jnp.float32):
         self.cfg = talker_cfg
-        # MoE impl knob, read at trace time: the lockstep-batched talker
-        # (talker_engine._generate_batched) vmaps forward over requests,
-        # and lax.ragged_dot has no batched-group_sizes vmap rule — the
-        # batched programs trace with "dense" (one-hot einsum)
+        # MoE impl knob, read at trace time. "auto" = ragged grouped
+        # dispatch everywhere: _experts_ragged carries a custom_vmap
+        # rule (batch axis folds into the token axis), so the lockstep-
+        # batched talker's vmapped programs get real O(T*K) dispatch
+        # too. "dense" remains a numerics oracle for tiny test configs.
         self.moe_impl = "auto"
         tc = talker_cfg.get("text_config", talker_cfg)
         self.H = int(tc.get("hidden_size", 1024))

@@ -320,15 +320,11 @@ class TalkerEngine:
         return ((n + 31) // 32) * 32
 
     def _generate_batched(self, prompts, sps) -> list[RequestOutput]:
-        model = self.model
-        # batched programs trace the dense MoE impl (ragged_dot has no
-        # vmap rule for batched group_sizes); restored for the
-        # sequential/streaming paths, whose traces read it lazily too
-        model.moe_impl = "dense"
-        try:
-            return self._generate_batched_inner(prompts, sps)
-        finally:
-            model.moe_impl = "auto"
+        # batched programs use the ragged MoE path too: _experts_ragged
+        # carries a custom_vmap rule that flattens the request axis into
+        # the token axis (one grouped dispatch over B*T tokens), so the
+        # old dense one-hot fallback (O(T*E) expert FLOPs) is gone
+        return self._generate_batched_inner(prompts, sps)
 
     def _generate_batched_inner(self, prompts, sps) -> list[RequestOutput]:
         model = self.model

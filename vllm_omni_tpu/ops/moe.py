@@ -57,6 +57,7 @@ def _experts_dense(x, w_gate, w_up, w_down, weights, idx):
     return jnp.einsum("te,teh->th", comb, out).astype(x.dtype)
 
 
+@jax.custom_batching.custom_vmap
 def _experts_ragged(x, w_gate, w_up, w_down, weights, idx):
     T, H = x.shape
     E = w_gate.shape[0]
@@ -80,6 +81,39 @@ def _experts_ragged(x, w_gate, w_up, w_down, weights, idx):
     contrib = down.astype(jnp.float32) * sort_weight[:, None]
     out = jnp.zeros((T, H), jnp.float32).at[sort_token].add(contrib)
     return out.astype(x.dtype)
+
+
+@_experts_ragged.def_vmap
+def _experts_ragged_vmap_rule(axis_size, in_batched, x, w_gate, w_up,
+                              w_down, weights, idx):
+    """vmap rule: flatten the mapped axis into the token axis.
+
+    The lockstep-batched talker vmaps its forward over requests
+    (talker_engine._generate_batched); without this rule ragged_dot has
+    no batching rule and batched programs had to fall back to the dense
+    one-hot einsum — O(T*E) expert FLOPs instead of O(T*K) (4x at
+    8-expert test shapes, 8x at the 32-expert top-4 flagship talker).
+    Expert weights are shared across the batch, so a [B, T] batch of
+    token activations is just B*T tokens: reshape, one ragged dispatch,
+    reshape back. Exact — no approximation."""
+    xb, gb, ub, db, wb, ib = in_batched
+    if gb or ub or db:
+        raise NotImplementedError(
+            "_experts_ragged: vmap over expert weights is unsupported "
+            "(use impl='dense')")
+    B = axis_size
+
+    def bcast(a, batched):
+        return a if batched else jnp.broadcast_to(a[None], (B,) + a.shape)
+
+    x_ = bcast(x, xb)
+    w_ = bcast(weights, wb)
+    i_ = bcast(idx, ib)
+    T = x_.shape[1]
+    out = _experts_ragged(
+        x_.reshape(B * T, x_.shape[-1]), w_gate, w_up, w_down,
+        w_.reshape(B * T, w_.shape[-1]), i_.reshape(B * T, i_.shape[-1]))
+    return out.reshape(B, T, out.shape[-1]), True
 
 
 def moe_mlp(
