@@ -86,18 +86,6 @@ def write_kv_layer(
     return k_cache, v_cache
 
 
-# The grouped prefill kernel stages the FULL k_new/v_new [T, Hkv, D]
-# in VMEM (whole-array BlockSpecs). XLA budgets custom calls against a
-# ~16 MiB *scoped* vmem stack (not the full 128 MiB VMEM) when the call
-# sits inside a larger jitted program: an 8192-token prefill at
-# Hkv=8/D=128/bf16 (16 MiB per staged array) failed AOT compile with
-# "scoped allocation 16.06M, limit 16.00M". Cap the combined staging
-# footprint at 12 MiB so each staged array plus the page scratch stays
-# well inside that stack; above the cap the write falls back to the
-# XLA scatter (prefill at those sizes is compute-bound anyway).
-_GROUPED_KV_VMEM_CAP_BYTES = 12 * 1024 * 1024
-
-
 def _pallas_kv_write_ok(B: int, D: int) -> bool:
     from vllm_omni_tpu import envs
 
@@ -110,11 +98,14 @@ def uses_grouped_kv_write(T: int, Hkv: int, B: int, D: int,
     """Single dispatch predicate for the page-grouped prefill KV-write
     kernel — shared by write_kv_auto and by callers that precompute
     `prepare_page_groups` outside a layer scan (e.g. models/qwen2.py),
-    so the two conditions cannot silently diverge."""
-    if not _pallas_kv_write_ok(B, D):
-        return False
-    staged = 2 * T * Hkv * D * itemsize  # k_new + v_new in VMEM
-    return T > 32 and staged <= _GROUPED_KV_VMEM_CAP_BYTES
+    so the two conditions cannot silently diverge.
+
+    No VMEM-size cap: the grouped kernel streams k_new/v_new as
+    grid-blocked [C, Hkv, D] tiles (pre-sorted by slot), so its VMEM
+    footprint is independent of T. (An earlier whole-array-staging
+    variant blew the ~16 MiB scoped-vmem stack at 8k-token prefills
+    and fell back to XLA scatter — 2.6x slower device time.)"""
+    return _pallas_kv_write_ok(B, D) and T > 32
 
 
 def write_kv_auto(
