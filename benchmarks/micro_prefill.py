@@ -92,19 +92,39 @@ def main() -> None:
                         detokenize=False)
     out = {"metric": "prefill_roofline", "tunnel_rtt_ms": round(rtt * 1e3, 2)}
     for P in lengths:
-        walls = []
-        for r in range(reps + 1):  # first rep is the compile warm-up
-            core.add_request(Request(
-                request_id=f"p{P}-{r}",
-                prompt_token_ids=[(5 * j + r) % 32000 for j in range(P)],
-                sampling_params=sp.clone()))
-            t0 = time.perf_counter()
-            while core.has_unfinished():
-                for _ in core.step():
-                    pass
-            walls.append(time.perf_counter() - t0)
-        wall = statistics.median(walls[1:])
-        dev = max(wall - rtt, 1e-9)  # RTT-adjusted estimate
+        # capture the prefill-shaped BatchDescriptor by hooking execute
+        captured = {}
+        real_execute = core.runner.execute
+
+        def capturing(desc, _cap=captured, _real=real_execute):
+            _cap.setdefault("desc", desc)
+            return _real(desc)
+
+        core.runner.execute = capturing
+        core.add_request(Request(
+            request_id=f"p{P}-cap",
+            prompt_token_ids=[(5 * j) % 32000 for j in range(P)],
+            sampling_params=sp.clone()))
+        while core.has_unfinished():
+            for _ in core.step():
+                pass
+        core.runner.execute = real_execute
+        desc = captured["desc"]
+
+        # amortized device time: N async replays of the same prefill
+        # step, ONE sync at the end — wall = N*device + RTT, so the
+        # tunnel RTT error shrinks N-fold (wall - rtt alone is junk
+        # when the tunnel jitters, which it does)
+        N = reps * 4
+        sampled, _ = real_execute(desc)  # warm (donation buffers settle)
+        jax.block_until_ready(sampled)
+        t0 = time.perf_counter()
+        for _ in range(N):
+            sampled, _ = real_execute(desc)
+        jax.block_until_ready(sampled)
+        wall_n = time.perf_counter() - t0
+        wall = wall_n / N + rtt  # per-step wall incl. one RTT (TTFT-ish)
+        dev = max((wall_n - rtt) / N, 1e-9)
         flops, bytes_ = model_flops_bytes(P)
         out[f"p{P}"] = {
             "wall_ms": round(wall * 1e3, 1),

@@ -32,13 +32,36 @@ L = 30
 
 
 def _force(res):
-    """Block on completion via a host fetch of one element (some remote
-    platforms resolve block_until_ready before execution finishes)."""
+    """Block on completion via a host fetch of a SCALAR reduction (some
+    remote platforms resolve block_until_ready before execution
+    finishes, and fetching a full video-scale array drags ~260 MB over
+    the dev tunnel — 8+ s that used to masquerade as kernel time)."""
     leaf = jax.tree_util.tree_leaves(res)[0]
-    np.asarray(jax.device_get(leaf))
+    float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+_RTT = None
+
+
+def _tunnel_rtt() -> float:
+    global _RTT
+    if _RTT is None:
+        tiny = jax.jit(lambda x: x + 1)
+        xs = jnp.ones((8,), jnp.float32)
+        np.asarray(tiny(xs))
+        rtts = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            np.asarray(tiny(xs))
+            rtts.append(time.perf_counter() - t0)
+        _RTT = sorted(rtts)[len(rtts) // 2]
+    return _RTT
 
 
 def timeit(fn, *args, reps=3, warmup=1):
+    """Per-call device time: each rep pays one tunnel round trip for the
+    scalar sync, which is measured once and subtracted (28 ms of RTT
+    reads as +35% on an 80 ms kernel otherwise)."""
     for _ in range(warmup):
         _force(fn(*args))
     ts = []
@@ -46,7 +69,7 @@ def timeit(fn, *args, reps=3, warmup=1):
         t0 = time.perf_counter()
         _force(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return max(min(ts) - _tunnel_rtt(), 1e-9)
 
 
 def bench_rope():
