@@ -27,6 +27,11 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-wall tests")
+
+
 @pytest.fixture(scope="session")
 def cpu_devices():
     return jax.devices()

@@ -146,7 +146,8 @@ class AsyncOmni(Omni):
         st.stream = stream
         if stream:
             st.stream_procs, st.stream_sources = self._make_stream_procs(
-                prompt)
+                prompt, request_id=request_id, sps=st.sps,
+                final_ids=final_ids)
         with self._lock:
             self._active[request_id] = st
         self.metrics.on_request_start(request_id)

@@ -281,12 +281,21 @@ class Omni:
                               or stage_id in st.stream_sources)
 
     def _make_stream_procs(
-        self, prompt: Any
+        self, prompt: Any, request_id: str = "",
+        sps: Optional[dict] = None, final_ids: Optional[set] = None,
     ) -> tuple[dict[int, Any], set[int]]:
         """Instantiate incremental edge processors for a streaming
-        request. Only fully-local edges engage (live feed objects cannot
-        cross a socket); remote edges keep completion hand-off."""
-        from vllm_omni_tpu.stages.remote import RemoteStage
+        request. Local consumers get the processor in-process; REMOTE
+        consumers get a RemoteEdgeStreamProxy — the processor runs on
+        the stage host and upstream partials relay over the control
+        socket (device arrays become numpy at the boundary), so
+        disaggregated pipelines keep the incremental-TTFT win. A remote
+        UPSTREAM needs nothing special: its partial StageOutputs already
+        arrive (deserialized) through the result pump."""
+        from vllm_omni_tpu.stages.remote import (
+            RemoteEdgeStreamProxy,
+            RemoteStage,
+        )
 
         procs: dict[int, Any] = {}
         sources: set[int] = set()
@@ -304,10 +313,22 @@ class Omni:
                 continue
             src = cfg.engine_input_source[0]
             consumer = self.stages[cfg.stage_id]
-            upstream = self.stages.get(src)
-            if (isinstance(consumer, RemoteStage)
-                    or isinstance(upstream, RemoteStage)
-                    or consumer.engine is None):
+            if isinstance(consumer, RemoteStage):
+                sp = (sps or {}).get(cfg.stage_id)
+                # the host-side task streams when its partials have a
+                # consumer: the client (final stage) or a further
+                # incremental edge off this stage
+                downstream_edge = any(
+                    c.stream_input_processor
+                    and c.engine_input_source == [cfg.stage_id]
+                    for c in self.stage_configs)
+                task_stream = (cfg.stage_id in (final_ids or set())
+                               or downstream_edge)
+                procs[cfg.stage_id] = RemoteEdgeStreamProxy(
+                    consumer, request_id, prompt, sp, task_stream, src)
+                sources.add(src)
+                continue
+            if consumer.engine is None:
                 continue
             procs[cfg.stage_id] = cls(consumer, prompt)
             sources.add(src)

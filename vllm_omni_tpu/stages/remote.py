@@ -177,6 +177,75 @@ class RemoteStage(OmniStage):
             # give recovery a full window before re-judging
             self._last_pong = time.monotonic()
 
+    # ------------------------------------------------- incremental edges
+    # Cross-stage streaming ONTO a remote consumer: the configured
+    # StreamInputProcessor runs on the HOST (it needs the consumer
+    # engine), and the orchestrator relays upstream partial/final
+    # StageOutputs as edge_* messages. Device arrays are host-fetched at
+    # serialization time on this sender thread — never on the
+    # orchestrator's single output-handler thread (the round-3 defect:
+    # one ~20-30 ms device roundtrip per token there serialized the
+    # whole DAG). See RemoteEdgeStreamProxy.
+
+    def _ensure_edge_sender(self) -> None:
+        if getattr(self, "_edge_q", None) is None:
+            self._edge_q: "queue.Queue[Optional[dict]]" = queue.Queue()
+            self._edge_rids: set[str] = set()
+            th = threading.Thread(
+                target=self._edge_sender, daemon=True,
+                name=f"remote-stage-{self.stage_id}-edge")
+            self._threads.append(th)
+            th.start()
+
+    def edge_begin(self, request_id: str, prompt: Any, sp, stream: bool,
+                   src: int) -> None:
+        self._ensure_edge_sender()
+        self._edge_rids.add(request_id)
+        self._edge_q.put({
+            "type": "edge_begin", "request_id": request_id,
+            "prompt": prompt, "src": src,
+            "sampling_params": sp.__dict__ if sp is not None else None,
+            "stream": stream,
+        })
+
+    def edge_event(self, kind: str, request_id: str, src: int,
+                   output: Any) -> None:
+        self._edge_q.put({"type": kind, "request_id": request_id,
+                          "src": src, "output": output})
+        if kind == "edge_final":
+            self._edge_rids.discard(request_id)
+
+    def edge_cancel(self, request_id: str) -> None:
+        if getattr(self, "_edge_q", None) is None:
+            return
+        self._edge_rids.discard(request_id)
+        self._edge_q.put({"type": "edge_cancel", "request_id": request_id})
+
+    def _edge_sender(self) -> None:
+        while True:
+            msg = self._edge_q.get()
+            if msg is None or self._closing:
+                return
+            try:
+                with self._sock_lock:
+                    _send(self._sock, msg)
+            except (ConnectionError, OSError):
+                # a fresh host has no processor state for this stream:
+                # recovery fails the edge request instead of replaying
+                self.out_q.put(StageOutput(
+                    request_id=msg.get("request_id", ""),
+                    stage_id=self.stage_id,
+                    error="remote stage connection lost mid-stream"))
+                self._edge_rids.discard(msg.get("request_id", ""))
+                if not self._recover():
+                    return
+
+    def _fail_edge_streams(self, reason: str) -> None:
+        for rid in list(getattr(self, "_edge_rids", ()) or ()):
+            self._edge_rids.discard(rid)
+            self.out_q.put(StageOutput(
+                request_id=rid, stage_id=self.stage_id, error=reason))
+
     def _task_msg(self, task: StageTask) -> dict:
         sp = task.sampling_params
         return {
@@ -270,6 +339,11 @@ class RemoteStage(OmniStage):
                                  self.stage_id, e)
                     self._fail_inflight(f"stage host recovery failed: {e}")
                     return False
+                # edge-streamed requests cannot replay (the dead host
+                # held the processor/feed state): fail them now so the
+                # client sees an error instead of a hang
+                self._fail_edge_streams(
+                    "stage host died mid-stream (processor state lost)")
                 pending = list(self._inflight.values())
                 logger.info("stage %d host recovered; re-submitting %d "
                             "in-flight requests", self.stage_id,
@@ -286,6 +360,7 @@ class RemoteStage(OmniStage):
                     return True
 
     def _fail_inflight(self, reason: str) -> None:
+        self._fail_edge_streams(reason)
         for rid in list(self._inflight):
             self._inflight.pop(rid, None)
             self.out_q.put(StageOutput(
@@ -293,6 +368,8 @@ class RemoteStage(OmniStage):
 
     def shutdown(self) -> None:
         self._closing = True
+        if getattr(self, "_edge_q", None) is not None:
+            self._edge_q.put(None)
         try:
             with self._sock_lock:
                 _send(self._sock, {"type": "stop"})
@@ -301,6 +378,55 @@ class RemoteStage(OmniStage):
             pass
         if self._supervisor is not None:
             self._supervisor.stop()
+
+
+class RemoteEdgeStreamProxy:
+    """Orchestrator-side stand-in for a StreamInputProcessor whose
+    consumer stage is remote (stages/streaming.py disengaged these
+    edges before round 5: "live feed objects cannot cross a socket").
+
+    The real processor runs on the stage HOST against the local engine;
+    this proxy relays upstream partial/final StageOutputs over the
+    control socket (edge_* messages, serialized by the connector codec —
+    device arrays become numpy at the boundary, fetched on the edge
+    sender thread). It always returns None: submission happens host-side
+    when the processor produces the consumer prompt, and results flow
+    back through the normal result pump."""
+
+    needs_upstream_stream = True
+
+    def __init__(self, stage: "RemoteStage", request_id: str,
+                 original_prompt: Any, sp, stream: bool, src: int):
+        self.stage = stage
+        self.request_id = request_id
+        self.original_prompt = original_prompt
+        self.sp = sp
+        self.stream = stream
+        self.src = src
+        self.submitted = False  # host owns submission
+        self._begun = False
+
+    def _ensure_begin(self) -> None:
+        if not self._begun:
+            self._begun = True
+            self.stage.edge_begin(self.request_id, self.original_prompt,
+                                  self.sp, self.stream, self.src)
+
+    def on_partial(self, src_stage_id: int, output) -> None:
+        self._ensure_begin()
+        self.stage.edge_event("edge_partial", self.request_id,
+                              src_stage_id, output)
+        return None
+
+    def on_final(self, src_stage_id: int, output) -> None:
+        self._ensure_begin()
+        self.stage.edge_event("edge_final", self.request_id,
+                              src_stage_id, output)
+        return None
+
+    def cancel(self) -> None:
+        if self._begun:
+            self.stage.edge_cancel(self.request_id)
 
 
 def serve_stage(cfg: StageConfig, port: int, host: str = "0.0.0.0") -> None:
@@ -355,6 +481,28 @@ def serve_stage(cfg: StageConfig, port: int, host: str = "0.0.0.0") -> None:
 
             pump = threading.Thread(target=pump_results, daemon=True)
             pump.start()
+            # incremental remote edges (RemoteEdgeStreamProxy): the
+            # configured StreamInputProcessor runs HERE against the
+            # local engine; request_id -> (processor, sp, stream)
+            edge_procs: dict[str, tuple[Any, Any, bool]] = {}
+
+            def edge_error(rid: str, e: BaseException) -> None:
+                import traceback
+
+                logger.error("edge stream processor failed on %s: %s",
+                             rid, e)
+                try:
+                    with send_lock:
+                        _send(conn, {
+                            "type": "result", "request_id": rid,
+                            "output": None, "metrics": None,
+                            "error": (f"edge stream processor: {e}\n"
+                                      f"{traceback.format_exc()}"),
+                            "partial": False,
+                        })
+                except (ConnectionError, OSError):
+                    pass
+
             try:
                 while True:
                     msg = _recv(conn)
@@ -368,7 +516,54 @@ def serve_stage(cfg: StageConfig, port: int, host: str = "0.0.0.0") -> None:
                     if msg.get("type") == "abort":
                         stage.abort(msg.get("request_id", ""))
                         continue
-                    if msg.get("type") != "task":
+                    mtype = msg.get("type")
+                    if mtype == "edge_begin":
+                        rid = msg["request_id"]
+                        try:
+                            cls = cfg.resolve_stream_input_processor()
+                            assert cls is not None, (
+                                "no stream_input_processor configured")
+                            sp_d = msg.get("sampling_params")
+                            sp = SamplingParams(**sp_d) if sp_d else None
+                            edge_procs[rid] = (
+                                cls(stage, msg.get("prompt")), sp,
+                                bool(msg.get("stream")))
+                        except BaseException as e:
+                            edge_error(rid, e)
+                        continue
+                    if mtype in ("edge_partial", "edge_final"):
+                        rid = msg["request_id"]
+                        entry = edge_procs.get(rid)
+                        if entry is None:
+                            continue
+                        proc, sp, task_stream = entry
+                        try:
+                            fn = (proc.on_partial
+                                  if mtype == "edge_partial"
+                                  else proc.on_final)
+                            next_input = fn(msg["src"], msg["output"])
+                        except BaseException as e:
+                            edge_procs.pop(rid, None)
+                            edge_error(rid, e)
+                            continue
+                        if next_input is not None:
+                            proc.submitted = True
+                            stage.submit(StageTask(
+                                rid, next_input, sp, stream=task_stream))
+                        if mtype == "edge_final":
+                            edge_procs.pop(rid, None)
+                        continue
+                    if mtype == "edge_cancel":
+                        rid = msg["request_id"]
+                        entry = edge_procs.pop(rid, None)
+                        if entry is not None:
+                            try:
+                                entry[0].cancel()
+                            except Exception:
+                                pass
+                        stage.abort(rid)
+                        continue
+                    if mtype != "task":
                         continue
                     sp = msg.get("sampling_params")
                     stage.submit(StageTask(
