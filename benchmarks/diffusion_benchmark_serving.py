@@ -112,11 +112,15 @@ def _self_serve(args, flagship: bool = False):
     import numpy as np
 
     if flagship:
+        quant = os.environ.get("BENCH_DIT_QUANT") or None
         od = OmniDiffusionConfig(
             model="bench-flagship", dtype="bfloat16",
-            vae_dtype=os.environ.get("BENCH_VAE_DTYPE", "bfloat16"))
+            vae_dtype=os.environ.get("BENCH_VAE_DTYPE", "bfloat16"),
+            quantization=quant)
         tf = QwenImageTransformerConfig(
-            num_layers=int(os.environ.get("BENCH_DIT_LAYERS", 16)),
+            # 40L (real QwenImage depth) fits one v5e chip at int8 only
+            num_layers=int(os.environ.get(
+                "BENCH_DIT_LAYERS", 40 if quant == "int8" else 16)),
             attention_head_dim=128, num_attention_heads=24,
             joint_attention_dim=3072, in_channels=64, out_channels=16,
             axes_dims_rope=(16, 56, 56))

@@ -269,6 +269,92 @@ def bench_pipeline() -> dict:
             "text_tokens": max_text, **per_stage}
 
 
+def bench_talker() -> dict:
+    """Lockstep-batched talker decode at the flagship MoE shape
+    (VERDICT r4 Next #5): 20L / 1024h / 32 experts top-4 / 16 RVQ
+    codebooks — the prior 2290 frames/s figure came from the 12L
+    8-expert toy in bench_shapes.py and traced DENSE MoE under vmap.
+    This measures the ragged (custom_vmap grouped-dispatch) path at
+    serving scale. frames/s = batch * frames / wall; every frame also
+    runs the NQ-1-step MTP code-predictor rollout."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vllm_omni_tpu.models.qwen3_omni.talker_engine import TalkerEngine
+    from vllm_omni_tpu.sampling_params import SamplingParams
+
+    H, NQ = 1024, 16
+    cfg = {
+        "talker_config": {
+            "num_code_groups": NQ, "thinker_hidden_size": 2048,
+            "accept_hidden_layer": 18, "codec_eos_token_id": 2150,
+            "codec_pad_id": 2148, "codec_bos_id": 2149,
+            "codec_nothink_id": 2146, "codec_think_bos_id": 2147,
+            "codec_think_eos_id": 2151, "spatial_merge_size": 2,
+            "text_config": {
+                "hidden_size": H, "num_hidden_layers": 20,
+                "num_attention_heads": 16, "num_key_value_heads": 8,
+                "head_dim": 128, "intermediate_size": 4096,
+                "moe_intermediate_size": 768,
+                "shared_expert_intermediate_size": 2048,
+                "num_experts": 32, "num_experts_per_tok": 4,
+                "norm_topk_prob": False, "vocab_size": 4096,
+                "rope_scaling": {"mrope_section": [8, 12, 12]},
+                "max_position_embeddings": 8192,
+            },
+            "code_predictor_config": {
+                "hidden_size": H, "num_hidden_layers": 4,
+                "num_attention_heads": 16, "num_key_value_heads": 8,
+                "head_dim": 64, "intermediate_size": 2048,
+                "num_code_groups": NQ, "vocab_size": 2048,
+            },
+        },
+    }
+    batch = int(os.environ.get("BENCH_TALKER_BATCH", 32))
+    prompt_len = int(os.environ.get("BENCH_TALKER_PROMPT", 64))
+    frames = int(os.environ.get("BENCH_TALKER_FRAMES", 128))
+    impl = os.environ.get("BENCH_TALKER_MOE", "auto")  # auto|dense
+    eng = TalkerEngine(cfg, load_weights=False, dtype=jnp.bfloat16,
+                       max_len=2048, predictor_greedy=True)
+    eng.model.moe_impl = impl
+    rng = np.random.default_rng(0)
+
+    def prompts():
+        ps = []
+        for i in range(batch):
+            T = prompt_len + (i % 7)  # ragged
+            ps.append({
+                "request_id": f"t{i}",
+                "inputs_embeds": rng.normal(size=(T, H)).astype(
+                    np.float32) * 0.3,
+                "mrope_positions": np.broadcast_to(
+                    np.arange(T, dtype=np.float32), (3, T)).copy(),
+                "mrope_delta": 0,
+                "trailing_text_hidden": rng.normal(
+                    size=(8, H)).astype(np.float32) * 0.3,
+                "tts_pad_embed": rng.normal(size=(H,)).astype(
+                    np.float32) * 0.3,
+            })
+        return ps
+
+    sps = [SamplingParams(temperature=0.0, repetition_penalty=1.05,
+                          max_tokens=frames, ignore_eos=True)
+           for _ in range(batch)]
+    eng.generate(prompts(), list(sps))  # compile
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = eng.generate(prompts(), list(sps))
+        walls.append(time.perf_counter() - t0)
+    nf = sum(len(o.outputs[0].token_ids) for o in outs)
+    wall = statistics.median(walls)
+    return {"metric": "talker_flagship_batched",
+            "frames_per_s": round(nf / wall, 1),
+            "batch": batch, "frames_total": nf,
+            "wall_s": round(wall, 2), "moe_impl": impl,
+            "shape": "20L/1024h/E32K4/NQ16"}
+
+
 def bench_video() -> dict:
     """Wan2.2-TI2V-5B-shaped T2V denoise step at 720p + temporal VAE
     decode (VERDICT r2 Next #9: the flash kernel microbenches existed,
@@ -384,7 +470,8 @@ def bench_video() -> dict:
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "moe"
     out = {"moe": bench_moe, "dit": bench_dit,
-           "pipeline": bench_pipeline, "video": bench_video}[which]()
+           "pipeline": bench_pipeline, "video": bench_video,
+           "talker": bench_talker}[which]()
     print(json.dumps(out))
 
 

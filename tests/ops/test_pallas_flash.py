@@ -80,6 +80,23 @@ def test_bf16_matches_dense_bf16():
         atol=2e-2, rtol=2e-2)
 
 
+def test_bf16_softmax_mode():
+    """softmax_dtype="bf16" (score/exp passes in bfloat16, f32 m/l
+    bookkeeping + widened row sum) stays within bf16-grade tolerance of
+    the dense reference — incl. a padded tail and a kv mask."""
+    q = _rand((2, 200, 2, 128), 21).astype(jnp.bfloat16)
+    k = _rand((2, 200, 2, 128), 22).astype(jnp.bfloat16)
+    v = _rand((2, 200, 2, 128), 23).astype(jnp.bfloat16)
+    mask = jnp.asarray(np.arange(200)[None, :] < 170)
+    mask = jnp.broadcast_to(mask, (2, 200))
+    ref = dense_attention_base(q, k, v, mask=mask[:, None, :])
+    out = flash_attention(q, k, v, kv_mask=mask, interpret=True,
+                          block_q=128, block_k=128, softmax_dtype="bf16")
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)
+
+
 def test_dispatch_threshold(monkeypatch):
     """dense_attention routes long sequences to the flash kernel."""
     import vllm_omni_tpu.diffusion.layers as layers

@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
 
 
 def _kernel(
@@ -62,6 +63,7 @@ def _kernel(
     causal: bool,
     lk_valid: int,
     num_heads: int = 1,
+    softmax_dtype=jnp.float32,
 ):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
@@ -83,22 +85,29 @@ def _kernel(
         run = (iq + 1) * block_q - 1 >= ik * block_k
 
     def compute(masked_tail: bool):
-        # scale folded into the q tile: one [BQ, D] multiply instead of
-        # a [BQ, BK] pass over the score tile
-        q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+        # softmax runs in the exp2 domain: log2(e) folds into the same
+        # per-q-tile scale multiply (one [BQ, D] pass), so the big
+        # [BQ, BK] exp pass is a bare exp2 — jnp.exp would spend an
+        # extra VPU multiply per score element on x*log2e itself
+        q = q_ref[0] * jnp.asarray(scale * LOG2E, q_ref.dtype)
         k = k_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
+            # the MXU accumulates in 32-bit only (Mosaic rejects a bf16
+            # acc); bf16 softmax mode converts the tile once here and
+            # runs the max/exp/mask passes at half VMEM width
             preferred_element_type=jnp.float32,
-        )  # [BQ, BK]
+        ).astype(softmax_dtype)  # [BQ, BK] log2-domain scores
         guarded = mask_ref is not None
         if mask_ref is not None:
-            s = jnp.where(mask_ref[batch][None, :], s, NEG_INF)
+            s = jnp.where(mask_ref[batch][None, :], s,
+                          jnp.asarray(NEG_INF, softmax_dtype))
         elif masked_tail:
             kpos = (jax.lax.broadcasted_iota(jnp.int32,
                                              (block_q, block_k), 1)
                     + ik * block_k)
-            s = jnp.where(kpos < lk_valid, s, NEG_INF)
+            s = jnp.where(kpos < lk_valid, s,
+                          jnp.asarray(NEG_INF, softmax_dtype))
         if causal:
             qpos = (jax.lax.broadcasted_iota(jnp.int32,
                                              (block_q, block_k), 0)
@@ -106,26 +115,29 @@ def _kernel(
             kpos = (jax.lax.broadcasted_iota(jnp.int32,
                                              (block_q, block_k), 1)
                     + ik * block_k)
-            s = jnp.where(qpos >= kpos, s, NEG_INF)
+            s = jnp.where(qpos >= kpos, s,
+                          jnp.asarray(NEG_INF, softmax_dtype))
             # padded q rows above Lk can be fully masked; their l stays 0
             # and finalize guards the divide — no per-tile guard needed
 
-        m_prev = m_ref[:, :1]  # [BQ, 1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_prev = m_ref[:, :1]  # [BQ, 1] f32, log2 domain
+        m_cur = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)  # [BQ, 1]
-        p = jnp.exp(s - m_new)  # [BQ, BK]
+        alpha = jnp.exp2(m_prev - m_new)  # [BQ, 1]
+        p = jnp.exp2(s - m_new.astype(softmax_dtype))  # [BQ, BK]
         if guarded:
             # an explicit kv_mask can invalidate EVERY key a row sees:
-            # m_new stays NEG_INF and exp(0)=1 rows of p would pollute l
-            p = jnp.where(m_new > NEG_INF / 2, p, 0.0)
+            # m_new stays NEG_INF and exp2(0)=1 rows of p would pollute l
+            p = jnp.where(m_new > NEG_INF / 2,
+                          p, jnp.asarray(0.0, p.dtype))
             alpha = jnp.where(m_new > NEG_INF / 2, alpha, 0.0)
         # without an explicit mask, no row can be fully masked: causal
         # rows always see key 0 (qpos >= 0) in their first block, and a
         # padded tail still leaves keys [0, Lk) valid — masked columns
-        # die through exp(NEG_INF - m) = 0 with no extra pass
+        # die through exp2(NEG_INF - m) = 0 with no extra pass
 
-        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        l_new = alpha * l_ref[:, :1] + jnp.sum(
+            p, axis=-1, keepdims=True, dtype=jnp.float32)
         l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
         pv = jax.lax.dot_general(
@@ -172,7 +184,8 @@ def _pad_to(x: jax.Array, axis: int, mult: int, value=0.0) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "causal", "block_q", "block_k", "interpret"),
+    static_argnames=("scale", "causal", "block_q", "block_k",
+                     "softmax_dtype", "interpret"),
 )
 def flash_attention(
     q: jax.Array,  # [B, L, H, D]
@@ -181,11 +194,20 @@ def flash_attention(
     scale: float | None = None,
     kv_mask: jax.Array | None = None,  # [B, Lk] bool key validity
     causal: bool = False,
-    # v5e sweep at [2, 20880, 24, 128]: (512, 2048) = 96.6 TFLOP/s vs
-    # 37.2 for the old (256, 512) — the kernel is VPU-bound, so bigger
-    # key blocks amortize per-tile bookkeeping
-    block_q: int = 512,
+    # v5e sweep at [2, 21120, 24, 128] (benchmarks/micro_flash.py, r5):
+    # (1024, 2048) = 137 TFLOP/s vs 131 for (512, 2048) and 52 for the
+    # old (256, 512) — the kernel is VPU-bound in the softmax passes, so
+    # bigger tiles amortize per-tile bookkeeping; (1024, 4096) f32 blows
+    # the 16 MiB scoped-vmem stack
+    block_q: int = 1024,
     block_k: int = 2048,
+    # "bf16" runs the [BQ, BK] score/exp passes in bfloat16 (the m/l
+    # bookkeeping and the output accumulator stay f32, and the row sum
+    # widens to f32): halves the VPU-bound score-tile traffic and drops
+    # the p->bf16 convert pass before the PV matmul. Opt-in accuracy
+    # trade (post-max-subtraction exp2 outputs live in (0, 1], so the
+    # error is ~2^-9 relative on the softmax weights).
+    softmax_dtype: str = "f32",
     interpret: bool = False,
 ) -> jax.Array:
     """Blocked flash attention; output [B, L, H, D] matching
@@ -234,6 +256,8 @@ def flash_attention(
         functools.partial(_wrap_nomask, _kernel),
         scale=scale, block_q=block_q, block_k=block_k, causal=causal,
         lk_valid=Lk, num_heads=H,
+        softmax_dtype=(jnp.bfloat16 if softmax_dtype == "bf16"
+                       else jnp.float32),
     )
 
     out = pl.pallas_call(
@@ -248,6 +272,11 @@ def flash_attention(
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # bh/iq carry no state between steps; only the key axis is
+            # sequential (m/l/acc accumulate across it)
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(*args)
 
