@@ -28,12 +28,19 @@ class DiffusionParallelConfig:
     ulysses_degree: int = 1
     ring_degree: int = 1
     tensor_parallel_size: int = 1
+    # intra-model pipeline parallelism (reference data.py:26-91
+    # pipeline_parallel_size -> PipelineGroupCoordinator): layer groups
+    # over a "pipe" mesh axis, GPipe-scheduled (parallel/pipeline.py)
+    pipeline_parallel_size: int = 1
+    # microbatches per step (None: one per effective batch row)
+    pipeline_num_microbatches: Optional[int] = None
     vae_parallel_size: int = 0
 
     def __post_init__(self) -> None:
         if self.cfg_parallel_size not in (1, 2):
             raise ValueError("cfg_parallel_size must be 1 or 2")
-        for name in ("data_parallel_size", "ulysses_degree", "ring_degree", "tensor_parallel_size"):
+        for name in ("data_parallel_size", "ulysses_degree", "ring_degree",
+                     "tensor_parallel_size", "pipeline_parallel_size"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be >= 1")
 
@@ -48,6 +55,7 @@ class DiffusionParallelConfig:
             * self.cfg_parallel_size
             * self.sequence_parallel_size
             * self.tensor_parallel_size
+            * self.pipeline_parallel_size
         ) + self.vae_parallel_size
 
 

@@ -73,6 +73,13 @@ class QwenImageTransformerConfig:
 
 
 class QwenImageTransformer2DModel:
+    # Intra-model pipeline parallelism (parallel/pipeline.py): set by
+    # setup_parallel_placement when pipeline_parallel_size > 1. The
+    # stacked blocks run GPipe-scheduled over the "pipe" mesh axis
+    # instead of a single-device lax.scan.
+    pp_mesh = None
+    pp_microbatches = None  # None -> one microbatch per batch row
+
     def __init__(self, config: QwenImageTransformerConfig, dtype=jnp.bfloat16):
         self.cfg = config
         self.dtype = dtype
@@ -242,23 +249,31 @@ class QwenImageTransformer2DModel:
                 [gate_t * y[:, :n_first], gate_0 * y[:, n_first:]], axis=1)
 
         def block(carry, p):
-            img_h, txt_h = carry
+            # carry is a dict so the same block body runs under lax.scan
+            # AND GPipe-microbatched under shard_map (parallel/pipeline.py)
+            # — conditioning (temb/mask) rides in the carry because a
+            # microbatch sees only its own batch rows
+            img_h, txt_h = carry["img"], carry["txt"]
+            c_temb = carry["temb"]
+            c_temb0 = carry.get("temb0")
+            c_mask = carry.get("mask")
+            Bmb = img_h.shape[0]
             a = p["attn"]
-            img_mod = linear(temb_act, p["img_mod"]["w"], p["img_mod"]["b"])
-            txt_mod = linear(temb_act, p["txt_mod"]["w"], p["txt_mod"]["b"])
+            img_mod = linear(c_temb, p["img_mod"]["w"], p["img_mod"]["b"])
+            txt_mod = linear(c_temb, p["txt_mod"]["w"], p["txt_mod"]["b"])
             img_mod1, img_mod2 = jnp.split(img_mod, 2, axis=-1)
             txt_mod1, txt_mod2 = jnp.split(txt_mod, 2, axis=-1)
             img_mod1_0 = img_mod2_0 = None
-            if temb0_act is not None:
+            if c_temb0 is not None:
                 img_mod_0 = linear(
-                    temb0_act, p["img_mod"]["w"], p["img_mod"]["b"])
+                    c_temb0, p["img_mod"]["w"], p["img_mod"]["b"])
                 img_mod1_0, img_mod2_0 = jnp.split(img_mod_0, 2, axis=-1)
 
             img_md, img_gate1 = mod_img(img_h, img_mod1, img_mod1_0)
             txt_md, txt_gate1 = modulate(txt_h, txt_mod1, eps)
 
             def heads(x, pr):
-                return linear(x, pr["w"], pr["b"]).reshape(B, -1, H, D)
+                return linear(x, pr["w"], pr["b"]).reshape(Bmb, -1, H, D)
 
             q_i = rms_norm(heads(img_md, a["to_q"]), a["norm_q"], eps)
             k_i = rms_norm(heads(img_md, a["to_k"]), a["norm_k"], eps)
@@ -276,8 +291,8 @@ class QwenImageTransformer2DModel:
             q = jnp.concatenate([q_t, q_i], axis=1)
             kk = jnp.concatenate([k_t, k_i], axis=1)
             vv = jnp.concatenate([v_t, v_i], axis=1)
-            o = dense_attention(q, kk, vv, mask=attn_mask)
-            o = o.reshape(B, Ntxt + Nimg, H * D)
+            o = dense_attention(q, kk, vv, mask=c_mask)
+            o = o.reshape(Bmb, Ntxt + Nimg, H * D)
             o_t, o_i = o[:, :Ntxt], o[:, Ntxt:]
             img_attn = linear(o_i, a["to_out"]["w"], a["to_out"]["b"])
             txt_attn = linear(o_t, a["to_add_out"]["w"], a["to_add_out"]["b"])
@@ -300,9 +315,23 @@ class QwenImageTransformer2DModel:
                 mlp["fc2"]["w"], mlp["fc2"]["b"],
             )
             txt_h = txt_h + txt_gate2 * txt_mlp
-            return (img_h, txt_h), None
+            return dict(carry, img=img_h, txt=txt_h)
 
-        (img_h, txt_h), _ = jax.lax.scan(block, (img_h, txt_h), params["blocks"])
+        carry = {"img": img_h, "txt": txt_h, "temb": temb_act}
+        if temb0_act is not None:
+            carry["temb0"] = temb0_act
+        if attn_mask is not None:
+            carry["mask"] = attn_mask
+        if self.pp_mesh is not None:
+            from vllm_omni_tpu.parallel.pipeline import pipeline_blocks
+
+            carry = pipeline_blocks(
+                block, params["blocks"], carry, self.pp_mesh,
+                self.pp_microbatches or B)
+        else:
+            carry, _ = jax.lax.scan(
+                lambda c, p: (block(c, p), None), carry, params["blocks"])
+        img_h, txt_h = carry["img"], carry["txt"]
 
         # AdaLayerNormContinuous: scale, shift = chunk(linear(silu(temb)))
         so = linear(temb_act, params["norm_out"]["w"], params["norm_out"]["b"])

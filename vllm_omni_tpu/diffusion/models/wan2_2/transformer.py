@@ -151,6 +151,11 @@ def _fp32_ln(x, eps, gamma=None, beta=None):
 
 
 class WanTransformer3DModel:
+    # intra-model pipeline parallelism over a "pipe" mesh axis
+    # (parallel/pipeline.py), installed by setup_parallel_placement
+    pp_mesh = None
+    pp_microbatches = None
+
     def __init__(self, config: WanTransformerConfig, dtype=jnp.bfloat16):
         self.cfg = config
         self.dtype = dtype
@@ -306,28 +311,29 @@ class WanTransformer3DModel:
         n_img_ctx = (ctx.shape[1] - c.text_len
                      if c.added_kv_proj_dim is not None else 0)
 
-        def mod(table_row):
+        def mod(table_row, c_t6):
             """scale_shift_table + t6 -> 6 chunks, f32."""
             if per_token_t:
-                m = table_row[None, None] + t6.astype(jnp.float32)
+                m = table_row[None, None] + c_t6.astype(jnp.float32)
                 return [m[:, :, j] for j in range(6)]  # each [B, S, dim]
-            m = table_row[None] + t6.astype(jnp.float32)
+            m = table_row[None] + c_t6.astype(jnp.float32)
             return [m[:, j][:, None, :] for j in range(6)]  # [B, 1, dim]
-
-        def heads(x, pr):
-            return linear(x, pr["w"], pr["b"]).reshape(
-                B, -1, c.num_attention_heads, c.attention_head_dim)
 
         def attention(q, k, v):
             from vllm_omni_tpu.diffusion.layers import dense_attention
 
             o = dense_attention(q, k, v)
-            return o.reshape(B, -1, dim)
+            return o.reshape(o.shape[0], -1, dim)
 
         def block(carry, p):
-            h = carry
+            # dict carry: batch-sized conditioning (t6, ctx) rides along
+            # so the same body runs microbatched under GPipe PP
+            # (parallel/pipeline.py) — shapes come from the arrays, not
+            # the closed-over B
+            h, t6, ctx = carry["h"], carry["t6"], carry["ctx"]
+            Bmb = h.shape[0]
             (shift_msa, scale_msa, gate_msa, c_shift, c_scale,
-             c_gate) = mod(p["scale_shift_table"])
+             c_gate) = mod(p["scale_shift_table"], t6)
             # 1. self-attention
             hn = (_fp32_ln(h, eps) * (1 + scale_msa) + shift_msa
                   ).astype(h.dtype)
@@ -338,12 +344,12 @@ class WanTransformer3DModel:
                           a["norm_k"], eps)
             v = linear(hn, a["to_v"]["w"], a["to_v"]["b"])
             q = apply_wan_rope_mm(
-                q.reshape(B, S, -1, c.attention_head_dim),
+                q.reshape(Bmb, S, -1, c.attention_head_dim),
                 rope_cos, rope_sin, rope_rot)
             k = apply_wan_rope_mm(
-                k.reshape(B, S, -1, c.attention_head_dim),
+                k.reshape(Bmb, S, -1, c.attention_head_dim),
                 rope_cos, rope_sin, rope_rot)
-            v = v.reshape(B, S, -1, c.attention_head_dim)
+            v = v.reshape(Bmb, S, -1, c.attention_head_dim)
             attn = linear(attention(q, k, v), a["to_out"]["w"],
                           a["to_out"]["b"])
             h = (h.astype(jnp.float32)
@@ -366,18 +372,18 @@ class WanTransformer3DModel:
             k = _rms_full(linear(ctx_txt, a2["to_k"]["w"], a2["to_k"]["b"]),
                           a2["norm_k"], eps)
             v = linear(ctx_txt, a2["to_v"]["w"], a2["to_v"]["b"])
-            q = q.reshape(B, S, -1, c.attention_head_dim)
-            k = k.reshape(B, ctx_txt.shape[1], -1, c.attention_head_dim)
-            v = v.reshape(B, ctx_txt.shape[1], -1, c.attention_head_dim)
+            q = q.reshape(Bmb, S, -1, c.attention_head_dim)
+            k = k.reshape(Bmb, ctx_txt.shape[1], -1, c.attention_head_dim)
+            v = v.reshape(Bmb, ctx_txt.shape[1], -1, c.attention_head_dim)
             xattn = attention(q, k, v)
             if ctx_img is not None:
                 ki = _rms_full(
                     linear(ctx_img, a2["add_k"]["w"], a2["add_k"]["b"]),
                     a2["norm_added_k"], eps)
                 vi = linear(ctx_img, a2["add_v"]["w"], a2["add_v"]["b"])
-                ki = ki.reshape(B, -1, c.num_attention_heads,
+                ki = ki.reshape(Bmb, -1, c.num_attention_heads,
                                 c.attention_head_dim)
-                vi = vi.reshape(B, -1, c.num_attention_heads,
+                vi = vi.reshape(Bmb, -1, c.num_attention_heads,
                                 c.attention_head_dim)
                 xattn = xattn + attention(q, ki, vi)
             xattn = linear(xattn, a2["to_out"]["w"], a2["to_out"]["b"])
@@ -390,9 +396,20 @@ class WanTransformer3DModel:
                         f["fc2"]["w"], f["fc2"]["b"])
             h = (h.astype(jnp.float32)
                  + ff.astype(jnp.float32) * c_gate).astype(h.dtype)
-            return h, None
+            return dict(carry, h=h)
 
-        h, _ = jax.lax.scan(block, h, params["blocks"])
+        carry = {"h": h, "t6": t6, "ctx": ctx}
+        if self.pp_mesh is not None:
+            from vllm_omni_tpu.parallel.pipeline import pipeline_blocks
+
+            carry = pipeline_blocks(
+                block, params["blocks"], carry, self.pp_mesh,
+                self.pp_microbatches or B)
+        else:
+            carry, _ = jax.lax.scan(
+                lambda cr, p: (block(cr, p), None), carry,
+                params["blocks"])
+        h = carry["h"]
 
         # output head: table + temb -> (shift, scale)
         table = params["head_table"].astype(jnp.float32)

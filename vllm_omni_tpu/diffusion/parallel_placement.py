@@ -93,6 +93,56 @@ class VaeDecoder:
         return self.decode_fn(vae_params, z)
 
 
+def _setup_pipeline(pipeline, pc, devices, pp: int, n_vae: int) -> None:
+    """Intra-model pipeline parallelism: transformer layer groups over a
+    "pipe" mesh axis, GPipe-scheduled (parallel/pipeline.py; parity with
+    the reference's PipelineGroupCoordinator, group_coordinator.py:552-908).
+    Exclusive with DP/SP on the same device slice (the reference likewise
+    multiplies the sizes into disjoint rank groups)."""
+    from vllm_omni_tpu.parallel.pipeline import (
+        make_pipe_mesh,
+        shard_blocks_for_pipeline,
+    )
+
+    if pc.data_parallel_size > 1 or pc.sequence_parallel_size > 1:
+        logger.warning("pipeline parallel: dp/sp must be 1 — disabled")
+        return
+    avail = len(devices) - max(n_vae, 0)
+    if pp > avail:
+        logger.warning("pipeline_parallel_size %d exceeds %d available "
+                       "devices — disabled", pp, avail)
+        return
+    tf = getattr(pipeline, "transformer", None)
+    if tf is None or not hasattr(tf, "pp_mesh"):
+        logger.warning("pipeline parallel: pipeline has no PP-capable "
+                       "transformer — disabled")
+        return
+    blocks = pipeline.params.get("transformer", {}).get("blocks")
+    if blocks is None:
+        logger.warning("pipeline parallel: no stacked blocks — disabled")
+        return
+    n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    if n_layers % pp:
+        logger.warning("pipeline parallel: %d layers %% %d stages != 0 "
+                       "— disabled", n_layers, pp)
+        return
+    mesh = make_pipe_mesh(devices, pp)
+    pipeline.params["transformer"] = shard_blocks_for_pipeline(
+        pipeline.params["transformer"], "blocks", mesh)
+    # Wan2.2 MoE DiT: the low-noise expert shards the same way
+    if pipeline.params.get("transformer_2") is not None:
+        pipeline.params["transformer_2"] = shard_blocks_for_pipeline(
+            pipeline.params["transformer_2"], "blocks", mesh)
+    tf.pp_mesh = mesh
+    tf.pp_microbatches = pc.pipeline_num_microbatches
+    # pp_mesh is read at TRACE time: rebuild the jitted denoise step so a
+    # previously traced (scan-path) cache entry can never be reused
+    if hasattr(pipeline, "_build_denoise_step"):
+        pipeline._denoise_step = pipeline._build_denoise_step()
+    logger.info("pipeline parallel: %d stages x %d layers/stage",
+                pp, n_layers // pp)
+
+
 def setup_parallel_placement(pipeline, od_config, devices=None) -> None:
     """Install DP/SP placement hooks and/or the VAE slice on a pipeline.
 
@@ -118,6 +168,11 @@ def setup_parallel_placement(pipeline, od_config, devices=None) -> None:
                     pipeline.params["vae"], decoder.param_sharding)
             pipeline._decode = decoder
             logger.info("VAE-parallel: decode on %s", vae_devs)
+
+    pp = max(getattr(pc, "pipeline_parallel_size", 1), 1)
+    if pp > 1:
+        _setup_pipeline(pipeline, pc, devices, pp, n_vae)
+        return
 
     dp = max(pc.data_parallel_size, 1)
     sp = max(pc.sequence_parallel_size, 1)
