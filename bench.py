@@ -34,12 +34,20 @@ def _run_once(core, Request, SamplingParams, batch, prompt_len,
         temperature=0.0, max_tokens=decode_steps, ignore_eos=True,
         detokenize=False,
     )
+    # BENCH_PROMPT_TILE=t: tile a t-token random block to fill the
+    # prompt — the prompt-lookup (ngram spec decode) regime, mirroring
+    # summarization/copy workloads where the method pays off
+    tile = int(os.environ.get("BENCH_PROMPT_TILE", 0))
     for i in range(batch):
+        if tile > 0:
+            base = [(7 * j + i) % 32000 for j in range(tile)]
+            ids = (base * (prompt_len // tile + 1))[:prompt_len]
+        else:
+            ids = [(7 * j + i) % 32000 for j in range(prompt_len)]
         core.add_request(
             Request(
                 request_id=f"{tag}-{i}",
-                prompt_token_ids=[(7 * j + i) % 32000
-                                  for j in range(prompt_len)],
+                prompt_token_ids=ids,
                 sampling_params=sp.clone(),
             )
         )
@@ -68,7 +76,13 @@ def _run_once(core, Request, SamplingParams, batch, prompt_len,
 
 def main():
     # throughput mode: fused multi-step windows amortize per-dispatch
-    # overhead; a shallow async pipeline keeps windows in flight
+    # overhead; a shallow async pipeline keeps windows in flight.
+    # EXCEPT under spec decode: ngram proposals need the host to know
+    # the full sequence each step (scheduler._ngram_propose bails when
+    # pipelined tokens are in flight), so spec runs step-at-a-time
+    if int(os.environ.get("BENCH_SPEC", 0)) > 0:
+        os.environ.setdefault("OMNI_TPU_PIPELINE_DEPTH", "0")
+        os.environ.setdefault("OMNI_TPU_MULTI_STEP", "1")
     os.environ.setdefault("OMNI_TPU_PIPELINE_DEPTH", "8")
     os.environ.setdefault("OMNI_TPU_MULTI_STEP", "16")
     from vllm_omni_tpu.config.engine import EngineArgs
@@ -123,6 +137,12 @@ def main():
     tps = statistics.median(vals)
 
     extra = {}
+    if int(os.environ.get("BENCH_SPEC", 0)) > 0:
+        sched = core.scheduler
+        if sched.spec_proposed:
+            extra["spec_accept_rate"] = round(
+                sched.spec_accepted / sched.spec_proposed, 3)
+            extra["spec_proposed"] = sched.spec_proposed
     # ---- tunnel RTT floor: host-side latency metrics (TTFT, VAE ms)
     # include one dispatch+fetch round trip over the device tunnel;
     # record it so day-to-day tunnel weather is attributable (measured
@@ -232,6 +252,19 @@ def main():
         # excluded, consistent with the per-step differencing above)
         extra["image_per_sec_512_20step"] = round(
             1000.0 / (m_steps * 1000 * 20 + vae_ms), 3)
+
+    # round-recorded on-chip results (headline concurrency run, speech
+    # TTFT, flagship shapes — measured by their own harnesses, see
+    # BASELINE.md): surfaced under "recorded" so the driver's BENCH
+    # snapshot carries the full scoreboard, clearly labeled as recorded
+    # rather than re-measured in this invocation
+    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "RESULTS_r5.json")
+    if os.path.isfile(rec_path):
+        with open(rec_path) as f:
+            rec = json.load(f)
+        rec.pop("_comment", None)
+        extra["recorded"] = rec
 
     baseline = None
     if os.path.isfile("bench_baseline.json"):

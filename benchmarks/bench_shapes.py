@@ -155,3 +155,47 @@ def speech_prompt(i: int = 0, user_tokens: int = 48) -> list[int]:
             + [IM_START, USER]
             + [(13 * j + 7 * i) % 32000 for j in range(user_tokens)]
             + [IM_START, ASSISTANT, 77])
+
+
+# ---- TTFT-breakdown instrumentation (flagship.py pipeline) -----------
+# Stream-processor subclasses that timestamp the first event on each
+# cross-stage edge; flagship's bench_pipeline subtracts the request t0
+# to name where speech TTFT milliseconds sit (VERDICT r4 Next #2).
+BREAKDOWN_EVENTS: dict = {}
+
+
+def _mark(name: str) -> None:
+    import time as _t
+
+    BREAKDOWN_EVENTS.setdefault(name, _t.perf_counter())
+
+
+def _make_instrumented():
+    from vllm_omni_tpu.stages.input_processors.qwen3_omni_streaming import (
+        Talker2Code2WavStreaming,
+        Thinker2TalkerStreaming,
+    )
+
+    class T2TInstrumented(Thinker2TalkerStreaming):
+        def on_partial(self, src_stage_id, output):
+            _mark("thinker_first_emit")
+            r = super().on_partial(src_stage_id, output)
+            if r is not None:
+                _mark("talker_submitted")
+            return r
+
+    class T2CInstrumented(Talker2Code2WavStreaming):
+        def on_partial(self, src_stage_id, output):
+            _mark("talker_first_frame")
+            r = super().on_partial(src_stage_id, output)
+            if r is not None:
+                _mark("code2wav_submitted")
+            return r
+
+    return T2TInstrumented, T2CInstrumented
+
+
+try:  # import-time resolution targets for stream_input_processor paths
+    T2TInstrumented, T2CInstrumented = _make_instrumented()
+except Exception:  # pragma: no cover - vllm_omni_tpu not importable
+    pass

@@ -255,12 +255,29 @@ def bench_pipeline() -> dict:
             if ttft is not None:
                 ttfts.append(ttft)
             e2es.append(e2e)
+        # named TTFT breakdown (VERDICT r4 Next #2): instrumented stream
+        # processors timestamp each edge's first event on a fresh run
+        breakdown = None
+        if os.environ.get("BENCH_PIPE_BREAKDOWN", "1") == "1":
+            import bench_shapes as bs
+
+            for sid, path in {1: "bench_shapes.T2TInstrumented",
+                              2: "bench_shapes.T2CInstrumented"}.items():
+                omni.stage_configs[sid].stream_input_processor = path
+            bs.BREAKDOWN_EVENTS.clear()
+            t0 = time.perf_counter()
+            ttft_b, _, _ = asyncio.run(one(True))
+            breakdown = {k: round(v - t0, 3)
+                         for k, v in bs.BREAKDOWN_EVENTS.items()}
+            if ttft_b is not None:
+                breakdown["first_audio_partial"] = round(ttft_b, 3)
         stats = omni.metrics.summary()
         per_stage = {f"stage{sid}_tps_avg": round(ss.tps_avg, 1)
                      for sid, ss in omni.metrics.stage_stats.items()}
     finally:
         omni.shutdown()
     return {"metric": "speech_pipeline_3B_shaped",
+            "ttft_breakdown_s": breakdown,
             "speech_ttft_s": round(min(ttfts), 3) if ttfts else None,
             "speech_ttft_completion_handoff_s": (
                 round(min(ttfts_completion), 3) if ttfts_completion

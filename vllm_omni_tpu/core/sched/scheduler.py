@@ -64,6 +64,10 @@ class Scheduler:
         self._rows_to_reset: set[int] = set()
         self._finished_this_step: list[str] = []
         self.num_preemptions = 0
+        # speculative-decoding accounting (accept-rate observability,
+        # reference: vLLM SpecDecodingStats):
+        self.spec_proposed = 0
+        self.spec_accepted = 0
         # context-parallel prefill (set_cp_prefill): long prompts bypass
         # the token budget — the runner prefills them sequence-sharded
         self._cp_hook = None
@@ -410,6 +414,8 @@ class Scheduler:
                         accepted += 1
                     else:
                         break
+                self.spec_proposed += len(props)
+                self.spec_accepted += accepted
                 chunk_start = chunk_end - nrow
                 req.num_computed_tokens = chunk_start + 1 + accepted
                 produced.append(req)
