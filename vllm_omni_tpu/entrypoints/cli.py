@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--ulysses-degree", type=int, default=1)
     s.add_argument("--ring-degree", type=int, default=1)
     s.add_argument("--vae-parallel-size", type=int, default=0)
+    s.add_argument("--pipeline-parallel-size", type=int, default=1,
+                   help="DiT layer groups over a 'pipe' mesh axis "
+                        "(GPipe microbatch schedule)")
     s.add_argument("--vae-dtype", default="float32",
                    help="VAE compute dtype; bfloat16 ~halves decode "
                         "time at ~1e-2 image error")
@@ -87,6 +90,7 @@ def main(argv=None) -> int:
             parallel_config=DiffusionParallelConfig(
                 ulysses_degree=args.ulysses_degree,
                 ring_degree=args.ring_degree,
+                pipeline_parallel_size=args.pipeline_parallel_size,
                 vae_parallel_size=args.vae_parallel_size),
             vae_use_slicing=args.vae_use_slicing,
             vae_use_tiling=args.vae_use_tiling,
