@@ -331,8 +331,14 @@ def bench_talker() -> dict:
     prompt_len = int(os.environ.get("BENCH_TALKER_PROMPT", 64))
     frames = int(os.environ.get("BENCH_TALKER_FRAMES", 128))
     impl = os.environ.get("BENCH_TALKER_MOE", "auto")  # auto|dense
+    # max_len sizes the dense talker KV cache [L, B, Tmax, Hkv, D]; the
+    # layer scan stacks an updated copy, so peak HBM ~= 2x cache. At
+    # 20L/B32/8kvh/128d, Tmax=2048 is 2x2.51G per K/V side — OOM on
+    # v5e-1 alongside the 32-expert weights. 512 covers prompt(~71) +
+    # trails + 128 frames with 2x headroom.
+    max_len = int(os.environ.get("BENCH_TALKER_MAXLEN", 512))
     eng = TalkerEngine(cfg, load_weights=False, dtype=jnp.bfloat16,
-                       max_len=2048, predictor_greedy=True)
+                       max_len=max_len, predictor_greedy=True)
     eng.model.moe_impl = impl
     rng = np.random.default_rng(0)
 
