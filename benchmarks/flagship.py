@@ -127,10 +127,13 @@ def bench_dit() -> dict:
                              num_res_blocks=2,
                              temperal_downsample=(False, True, True))
     vae_dtype = os.environ.get("BENCH_VAE_DTYPE", "float32")
+    t_init = time.perf_counter()
     pipe = QwenImagePipeline(
         OmniDiffusionConfig(model="bench", dtype="bfloat16",
                             vae_dtype=vae_dtype, quantization=quant),
         transformer_config=tf, vae_config=vae, load_weights=False)
+    print(f"[dit] pipeline init {time.perf_counter() - t_init:.1f}s "
+          f"({layers}L quant={quant})", file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
 
     def run(steps):
@@ -146,9 +149,13 @@ def bench_dit() -> dict:
         np.asarray(lat)
         return time.perf_counter() - t0, lat
 
+    t_c = time.perf_counter()
     run(2)
+    print(f"[dit] first run(2) (compile) {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr, flush=True)
     run(2)
     t2 = min(run(2)[0] for _ in range(2))
+    print(f"[dit] warm run(2) {t2:.2f}s", file=sys.stderr, flush=True)
     t6, lat = 1e9, None
     for _ in range(2):
         t, lt = run(6)
